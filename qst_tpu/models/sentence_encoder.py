@@ -1,0 +1,149 @@
+"""Sentence encoder — the SentenceTransformer equivalent.
+
+Rebuilds the capability the reference gets from
+``SentenceTransformer(model_name)(features)['sentence_embedding']``
+(consumed at reference quadruplet_sentence_transformer.py:42-60) and
+``SentenceTransformer.encode`` (reference positive_examples_selection.py:53-54,
+and the IR evaluator's chunked corpus encode): transformer forward → masked
+mean pooling → optional L2 normalization.
+
+The jitted compute path is a pure function of (params, ids, mask); the
+``SentenceEncoder`` convenience class owns tokenization and fixed-shape
+batching on the host and keeps a cache of jitted entry points per shape
+bucket so XLA never recompiles in the steady state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from qst_tpu.core.config import EncoderConfig
+from qst_tpu.models.bert import BertEncoder
+from qst_tpu.ops.distances import l2_normalize
+from qst_tpu.ops.pooling import POOLERS
+
+
+class SentenceEncoderModule(nn.Module):
+    """ids/mask → pooled (and optionally normalized) sentence embedding."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        token_type_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        hidden = BertEncoder(self.cfg, name="encoder")(
+            input_ids, attention_mask, token_type_ids, deterministic)
+        pooled = POOLERS[self.cfg.pooling](hidden, attention_mask)
+        if self.cfg.normalize:
+            pooled = l2_normalize(pooled)
+        return {
+            "token_embeddings": hidden,
+            "sentence_embedding": pooled,
+        }
+
+
+def init_params(cfg: EncoderConfig, rng: jax.Array,
+                batch: int = 2) -> FrozenDict:
+    model = SentenceEncoderModule(cfg)
+    ids = jnp.zeros((batch, cfg.max_seq_length), jnp.int32)
+    mask = jnp.ones((batch, cfg.max_seq_length), jnp.int32)
+    return model.init({"params": rng}, ids, mask)["params"]
+
+
+def embed_fn(cfg: EncoderConfig) -> Callable:
+    """The pure forward: (params, ids, mask) → (B, D) f32 embeddings."""
+    model = SentenceEncoderModule(cfg)
+
+    def fwd(params, input_ids, attention_mask):
+        out = model.apply({"params": params}, input_ids, attention_mask,
+                          deterministic=True)
+        return out["sentence_embedding"]
+
+    return fwd
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class SentenceEncoder:
+    """Host-side convenience wrapper: texts → embeddings.
+
+    Parameters
+    ----------
+    cfg : encoder config
+    params : flax param pytree
+    tokenizer : object with ``batch_encode(texts, max_length) -> (ids, mask)``
+        returning fixed-shape int32 numpy arrays (see qst_tpu.models.tokenizer)
+    """
+
+    SEQ_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+    def __init__(self, cfg: EncoderConfig, params: Any, tokenizer: Any,
+                 out_sharding: Any = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self._fwd = embed_fn(cfg)
+        self._jitted = jax.jit(self._fwd, out_shardings=out_sharding)
+
+    def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        return self._jitted(self.params, input_ids, attention_mask)
+
+    def encode(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 256,
+        convert_to_numpy: bool = True,
+    ):
+        """Batched encode with shape bucketing (pad batch AND seq length to
+        fixed buckets so XLA compiles once per bucket, replacing the
+        reference's dynamic smart batching)."""
+        seq_buckets = [b for b in self.SEQ_BUCKETS if b <= self.cfg.max_seq_length]
+        if not seq_buckets or seq_buckets[-1] != self.cfg.max_seq_length:
+            seq_buckets.append(self.cfg.max_seq_length)
+        outs: List[np.ndarray] = []
+        for start in range(0, len(texts), batch_size):
+            chunk = list(texts[start:start + batch_size])
+            ids, mask = self.tokenizer.batch_encode(
+                chunk, max_length=self.cfg.max_seq_length)
+            # trim to longest real length, then pad up to a bucket
+            longest = int(mask.sum(axis=1).max()) if len(chunk) else 1
+            S = _bucket(longest, seq_buckets)
+            ids, mask = ids[:, :S], mask[:, :S]
+            n = len(chunk)
+            B = _bucket(n, [8, 16, 32, 64, 128, 256, batch_size])
+            if n < B:
+                pad = B - n
+                ids = np.concatenate([ids, np.zeros((pad, S), ids.dtype)])
+                mask = np.concatenate([mask, np.zeros((pad, S), mask.dtype)])
+                mask[n:, 0] = 1  # avoid 0/0 in mean pooling for pad rows
+            emb = self.encode_ids(jnp.asarray(ids), jnp.asarray(mask))
+            outs.append(np.asarray(emb[:n]))
+        if not outs:
+            dim = self.cfg.hidden_size
+            return np.zeros((0, dim), np.float32)
+        result = np.concatenate(outs, axis=0)
+        return result if convert_to_numpy else jnp.asarray(result)
+
+    def similarity(self, a: Sequence[str], b: Sequence[str]) -> np.ndarray:
+        from qst_tpu.ops.distances import cos_sim
+
+        ea = self.encode(a, convert_to_numpy=False)
+        eb = self.encode(b, convert_to_numpy=False)
+        return np.asarray(cos_sim(ea, eb))
