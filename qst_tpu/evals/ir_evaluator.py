@@ -1,0 +1,87 @@
+"""Information-retrieval evaluator.
+
+Capability match for sentence-transformers' ``InformationRetrievalEvaluator``
+as configured by the reference (ir_evauation_script.py:107-123: queries /
+corpus / relevant dicts, corpus_chunk_size, the full @k metric grid, multiple
+score functions, CSV output) — rebuilt on the TPU retrieval engine: one
+batched corpus encode into an (optionally ICI-sharded) ``ExactIndex``, one
+top-k search per score function, pure-function metrics.
+
+Main score follows sentence-transformers: the best ``map@max(map_at_k)``
+across score functions (so A/B comparisons against reference runs use the
+same scalar).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Set
+
+import numpy as np
+
+from qst_tpu.core.config import IREvalConfig
+from qst_tpu.core.telemetry import CsvSink
+from qst_tpu.evals.ir_metrics import ir_metrics
+from qst_tpu.retrieval.index import ExactIndex
+
+EncodeFn = Callable[[Sequence[str]], np.ndarray]
+
+
+class InformationRetrievalEvaluator:
+    def __init__(
+        self,
+        queries: Dict[str, str],
+        corpus: Dict[str, str],
+        relevant: Dict[str, Set[str]],
+        cfg: Optional[IREvalConfig] = None,
+        mesh=None,
+        log_dir: Optional[str] = None,
+        name: str = "ir",
+    ):
+        cfg = cfg or IREvalConfig()
+        # keep only queries that have at least one relevant doc
+        self.query_ids = [q for q in queries if relevant.get(q)]
+        if not self.query_ids:
+            raise ValueError("no queries with non-empty relevant sets")
+        self.queries = [queries[q] for q in self.query_ids]
+        self.corpus_ids = list(corpus.keys())
+        self.corpus_texts = [corpus[c] for c in self.corpus_ids]
+        self.relevant = {q: set(relevant[q]) for q in self.query_ids}
+        self.cfg = cfg
+        self.mesh = mesh
+        self.max_k = max(
+            (*cfg.accuracy_at_k, *cfg.precision_recall_at_k, *cfg.mrr_at_k,
+             *cfg.ndcg_at_k, *cfg.map_at_k))
+        self._sink = (
+            CsvSink(os.path.join(log_dir, name + "_results.csv"),
+                    ["epoch", "steps", "score_fn", "metric", "value"])
+            if log_dir else None
+        )
+
+    def __call__(self, encode_fn: EncodeFn, epoch: int = -1,
+                 steps: int = -1) -> float:
+        cfg = self.cfg
+        q_emb = np.asarray(encode_fn(self.queries), dtype=np.float32)
+        c_emb = np.asarray(encode_fn(self.corpus_texts), dtype=np.float32)
+        index = ExactIndex(c_emb, ids=self.corpus_ids, mesh=self.mesh)
+
+        k = min(self.max_k, len(self.corpus_ids))
+        self.last_results: Dict[str, Dict[str, float]] = {}
+        rel_list = [self.relevant[q] for q in self.query_ids]
+        for score_name in cfg.score_functions:
+            _, ranked_ids = index.search_ids(q_emb, k=k, score=score_name)
+            metrics = ir_metrics(
+                ranked_ids, rel_list,
+                accuracy_at_k=cfg.accuracy_at_k,
+                precision_recall_at_k=cfg.precision_recall_at_k,
+                mrr_at_k=cfg.mrr_at_k,
+                ndcg_at_k=cfg.ndcg_at_k,
+                map_at_k=cfg.map_at_k,
+            )
+            self.last_results[score_name] = metrics
+            if self._sink is not None:
+                for metric, value in metrics.items():
+                    self._sink.append([epoch, steps, score_name, metric, value])
+
+        main_k = max(cfg.map_at_k)
+        return max(m[f"map@{main_k}"] for m in self.last_results.values())

@@ -1,0 +1,169 @@
+"""The training loop.
+
+Explicit, lightweight replacement for the reference's black-box
+``SentenceTransformer.fit`` call (reference training/main.py:128-148):
+per-epoch iteration over fixed-shape quadruplet batches, a jitted train step,
+periodic evaluation driving early stopping and best-model checkpoints, and a
+pre-training evaluation at epoch -1 (reference training/main.py:126).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qst_tpu.core.config import (
+    EncoderConfig,
+    LossConfig,
+    TrainConfig,
+    save_config,
+)
+from qst_tpu.core.telemetry import JsonLogSink, StepTimer
+from qst_tpu.data.collate import QuadrupletCollator
+from qst_tpu.data.quadruplet_dataset import QuadrupletDataset
+from qst_tpu.train.callbacks import EarlyStopping
+from qst_tpu.train.checkpoints import CheckpointManager
+from qst_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger("qst_tpu.trainer")
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    best_score: float
+    best_epoch: int
+    history: List[Dict[str, float]]
+    stopped_early: bool
+    steps_per_sec: float
+
+
+class Trainer:
+    """Quadruplet fine-tuning driver.
+
+    evaluator: optional callable ``(params, epoch, steps) -> float`` whose
+    score drives early stopping and best-model saving (the role of the
+    reference's SequentialEvaluator main score).
+    """
+
+    def __init__(
+        self,
+        encoder_cfg: EncoderConfig,
+        loss_cfg: LossConfig,
+        train_cfg: TrainConfig,
+        dataset: QuadrupletDataset,
+        collator: QuadrupletCollator,
+        evaluator: Optional[Callable[[Any, int, int], float]] = None,
+        mesh=None,
+        steps_per_epoch: Optional[int] = None,
+    ):
+        self.encoder_cfg = encoder_cfg
+        self.loss_cfg = loss_cfg
+        self.train_cfg = train_cfg
+        self.dataset = dataset
+        self.collator = collator
+        self.evaluator = evaluator
+        self.mesh = mesh
+        self.steps_per_epoch = steps_per_epoch or max(
+            1, len(dataset) // train_cfg.batch_size)
+        self.total_steps = self.steps_per_epoch * train_cfg.epochs
+        self.timer = StepTimer()
+
+    def train(self, rng: Optional[jax.Array] = None,
+              resume: bool = False) -> TrainResult:
+        cfg = self.train_cfg
+        rng = rng if rng is not None else jax.random.key(cfg.seed)
+        state, tx = create_train_state(
+            self.encoder_cfg, cfg, rng, self.total_steps, self.loss_cfg)
+        step_fn = make_train_step(self.encoder_cfg, self.loss_cfg, tx, self.mesh)
+
+        os.makedirs(cfg.experiment_dir, exist_ok=True)
+        save_config(
+            {"encoder": self.encoder_cfg, "loss": self.loss_cfg, "train": cfg},
+            os.path.join(cfg.experiment_dir, "experiment_config.json"))
+        loss_log = JsonLogSink(os.path.join(cfg.experiment_dir, "train_loss.json"))
+
+        ckpt = CheckpointManager(
+            os.path.join(cfg.experiment_dir, "checkpoints"),
+            save_steps=cfg.checkpoint_save_steps,
+            total_limit=cfg.checkpoint_save_total_limit,
+            save_best=cfg.save_best_model,
+            mode=cfg.early_stopping_mode)
+        if resume:
+            restored = ckpt.restore_latest(state)
+            if restored is not None:
+                state = restored
+                logger.info("resumed from step %d", int(state.step))
+
+        stopper = EarlyStopping(
+            patience=cfg.early_stopping_patience,
+            delta=cfg.early_stopping_delta,
+            mode=cfg.early_stopping_mode)
+        history: List[Dict[str, float]] = []
+
+        def run_eval(epoch: int, steps: int) -> Optional[float]:
+            if self.evaluator is None:
+                return None
+            score = float(self.evaluator(state.params, epoch, steps))
+            history.append({"epoch": epoch, "steps": steps, "score": score})
+            ckpt.update_best(state, score)
+            return score
+
+        # pre-training evaluation (reference training/main.py:126)
+        run_eval(epoch=-1, steps=-1)
+
+        global_step = int(state.step)
+        stop = False
+        t_start = time.perf_counter()
+        compiled_steps = 0
+        for epoch in range(cfg.epochs):
+            if stop:
+                break
+            for batch in self.dataset.iter_batches(
+                    cfg.batch_size, shuffle=True, epoch=epoch,
+                    step_offset=global_step):
+                qb = self.collator(batch)
+                dropout_rng = jax.random.fold_in(rng, global_step + 1)
+                with self.timer.phase("train_step"):
+                    state, loss = step_fn(
+                        state, jnp.asarray(qb.input_ids),
+                        jnp.asarray(qb.attention_mask), dropout_rng)
+                global_step += 1
+                compiled_steps += 1
+                if cfg.evaluation_steps > 0 and global_step % cfg.evaluation_steps == 0:
+                    loss_val = float(loss)
+                    loss_log.append({"epoch": epoch, "steps": global_step,
+                                     "loss": loss_val})
+                    score = run_eval(epoch, global_step)
+                    if score is not None and stopper.update(score, epoch, global_step):
+                        stop = True
+                        break
+                ckpt.maybe_save(state, global_step)
+            if not stop:
+                score = run_eval(epoch, global_step)
+                if score is not None and stopper.update(score, epoch, global_step):
+                    stop = True
+
+        jax.block_until_ready(state.params)
+        elapsed = time.perf_counter() - t_start
+        ckpt.save_now(state, global_step)
+        ckpt.close()
+        return TrainResult(
+            state=state,
+            best_score=stopper.best_score,
+            best_epoch=stopper.best_epoch,
+            history=history,
+            stopped_early=stopper.stopped,
+            steps_per_sec=compiled_steps / elapsed if elapsed > 0 else 0.0,
+        )

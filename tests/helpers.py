@@ -16,19 +16,21 @@ from qst_tpu.core.config import (
 )
 from qst_tpu.data.chunks import write_chunk, write_meta
 
+# Every caption contains its topic key so the hash embedder (below) maps the
+# whole group near one topic centroid.
 TOPICS = [
     ("cat", ["a cat sits on the mat", "the cat rests on a mat",
-             "a small cat lying on the rug", "a kitten on the carpet"]),
+             "a small cat lying on the rug", "a young cat on the carpet"]),
     ("dog", ["a dog runs in the park", "the dog sprints across the grass",
-             "a puppy playing in the field", "a dog chasing a ball outside"]),
-    ("car", ["a red car drives down the road", "the red automobile on the street",
-             "a crimson vehicle moving on the highway", "a red car in traffic"]),
-    ("food", ["a plate of pasta with sauce", "spaghetti with tomato sauce on a dish",
-              "a bowl of noodles and red sauce", "pasta served with marinara"]),
-    ("beach", ["people relax on a sandy beach", "a crowd enjoying the seashore",
-               "sunbathers on the sand by the ocean", "families at the beach"]),
-    ("plane", ["an airplane flies through clouds", "a jet soaring in the sky",
-               "an aircraft above the clouds", "a plane cruising at altitude"]),
+             "a young dog playing in the field", "a dog chasing a ball outside"]),
+    ("car", ["a red car drives down the road", "the red car on the street",
+             "a crimson car moving on the highway", "a red car in traffic"]),
+    ("pasta", ["a plate of pasta with sauce", "pasta with tomato sauce on a dish",
+               "a bowl of pasta and red sauce", "pasta served with marinara"]),
+    ("beach", ["people relax on a sandy beach", "a crowd enjoying the beach",
+               "beach sunbathers on the sand", "families at the beach"]),
+    ("plane", ["an airplane flies through clouds", "a plane soaring in the sky",
+               "a plane above the clouds", "a plane cruising at altitude"]),
 ]
 
 

@@ -1,0 +1,208 @@
+"""Evaluator tests: IR evaluator with a mock embedder (the reference's
+mock-backend pattern), quadruplet/loss evaluators, sequential composition,
+eval-set construction with cross-encoder labeling + caching."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from qst_tpu.core.config import (
+    EncoderConfig,
+    IREvalConfig,
+    LossConfig,
+    KEY_NEGATIVE,
+    KEY_PART_POSITIVE,
+    KEY_POSITIVE,
+    KEY_REFERENCE,
+)
+from qst_tpu.data import QuadrupletCollator, QuadrupletDataset
+from qst_tpu.evals import (
+    InformationRetrievalEvaluator,
+    IREvaluationSet,
+    QuadrupletEvaluator,
+    QuadrupletLossEvaluator,
+    SequentialEvaluator,
+    create_ir_evaluation_set,
+    get_sequential_evaluator,
+)
+from qst_tpu.models import HashTokenizer, init_params
+
+from helpers import hash_embed, make_instances, write_synthetic_dataset
+
+
+def test_ir_evaluator_perfect_embedder(tmp_path):
+    """With an oracle embedder (relevant docs share the query's topic vector),
+    the IR evaluator must score near 1."""
+    queries = {"q1": "a cat sits on the mat", "q2": "a dog runs in the park"}
+    corpus = {
+        "c1": "the cat rests on a mat",       # relevant to q1
+        "c2": "a kitten on the carpet",       # relevant to q1
+        "c3": "the dog sprints across grass", # relevant to q2
+        "c4": "a plate of pasta with sauce",
+        "c5": "an airplane flies through clouds",
+    }
+    relevant = {"q1": {"c1", "c2"}, "q2": {"c3"}}
+    cfg = IREvalConfig(
+        accuracy_at_k=(1, 3), precision_recall_at_k=(1, 3), mrr_at_k=(3,),
+        ndcg_at_k=(3,), map_at_k=(3,), score_functions=("cos_sim",))
+    ev = InformationRetrievalEvaluator(queries, corpus, relevant, cfg=cfg,
+                                       log_dir=str(tmp_path))
+    score = ev(lambda texts: hash_embed(list(texts)))
+    assert score > 0.9
+    m = ev.last_results["cos_sim"]
+    assert m["accuracy@1"] == 1.0
+    assert m["recall@3"] == 1.0
+    # CSV written
+    assert os.path.isfile(os.path.join(tmp_path, "ir_results.csv"))
+
+
+def test_ir_evaluator_requires_relevant():
+    with pytest.raises(ValueError):
+        InformationRetrievalEvaluator({"q": "x"}, {"c": "y"}, {"q": set()})
+
+
+def test_quadruplet_evaluator_ordering(tmp_path):
+    insts = make_instances(12)
+    for inst in insts:
+        # topic-free text → uncorrelated mock embedding for every anchor
+        inst[KEY_NEGATIVE] = ["quantum flux polynomial irrelevant"]
+    ev = QuadrupletEvaluator.from_instances(
+        insts, gamma=0.6, log_dir=str(tmp_path))
+    score = ev(lambda texts: hash_embed(list(texts)))
+    # positives share the anchor topic; negatives don't → pos/neg and
+    # part/neg accuracies should be perfect with the topical mock embedder
+    assert ev.last_scores["acc_pos_neg"] == 1.0
+    assert ev.last_scores["acc_part_neg"] == 1.0
+    expected = (0.4 * ev.last_scores["acc_pos_part"] + 0.6 * 1.0 + 1.0) / 2
+    assert score == pytest.approx(expected)
+    assert os.path.isfile(os.path.join(tmp_path, "quadruplet_results.csv"))
+
+
+def test_quadruplet_evaluator_resample():
+    insts = make_instances(6)
+    for inst in insts:
+        inst[KEY_NEGATIVE] = ["zzz"]
+    calls = {"n": 0}
+
+    def resampler():
+        calls["n"] += 1
+        return (["a"] * 3, ["b"] * 3, ["c"] * 3, ["d"] * 3)
+
+    ev = QuadrupletEvaluator.from_instances(insts, resampler=resampler,
+                                            reset_every=2)
+    fn = lambda texts: hash_embed(list(texts))
+    ev(fn); ev(fn)   # calls 1, 2 — reset happens at start of call 3
+    assert calls["n"] == 0
+    ev(fn)
+    assert calls["n"] == 1
+    assert ev.anchors == ["a"] * 3
+
+
+def test_loss_evaluator_logs(tmp_path):
+    cfg = EncoderConfig.tiny()
+    loss_cfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+    params = init_params(cfg, jax.random.key(0))
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=6)
+    ds = QuadrupletDataset(root, seed=0)
+    batches = [ds[[0, 1, 2, 3]], ds[[4, 5, 6, 7]]]
+    collator = QuadrupletCollator(HashTokenizer(vocab_size=cfg.vocab_size),
+                                  max_length=cfg.max_seq_length)
+    ev = QuadrupletLossEvaluator(cfg, loss_cfg, batches, collator,
+                                 log_dir=str(tmp_path), name="val")
+    score = ev(params, epoch=0, steps=10)
+    assert score <= 0  # negated loss
+    log_path = os.path.join(tmp_path, "val_quadruplet_loss_eval.json")
+    with open(log_path) as f:
+        entries = json.load(f)
+    assert entries[0]["steps"] == 10 and entries[0]["average_loss"] == -score
+    ev(params, epoch=1, steps=20)
+    with open(log_path) as f:
+        assert len(json.load(f)) == 2  # cumulative append
+
+
+def test_sequential_evaluator_last_is_main():
+    seq = SequentialEvaluator([lambda *a, **k: 0.3, lambda *a, **k: 0.7])
+    assert seq() == 0.7
+    assert seq.last_scores == [0.3, 0.7]
+    with pytest.raises(ValueError):
+        SequentialEvaluator([])
+
+
+def test_create_ir_evaluation_set_explicit(tmp_path):
+    insts = make_instances(10)
+    cache = str(tmp_path / "ir_set.json")
+    es = create_ir_evaluation_set(insts, n_queries=4, seed=7,
+                                  cache_path=cache)
+    assert len(es.queries) == 4
+    # every query's relevant docs exist in the corpus and belong to it
+    for qid, docs in es.relevant.items():
+        assert docs, f"{qid} has empty relevant set"
+        iid = qid[1:]
+        for d in docs:
+            assert d in es.corpus
+            assert d.startswith(("pos", "part"))
+            assert d[len("posX") - 1:].split("_")[0] or True
+            assert iid in d  # doc ids carry the instance id
+    # non-query references present in corpus
+    assert any(k.startswith("ref") for k in es.corpus)
+    # cache round-trip: mutate file marker and confirm reload
+    es2 = create_ir_evaluation_set(insts, n_queries=4, seed=7,
+                                   cache_path=cache)
+    assert es2.queries == es.queries
+    assert es2.relevant == es.relevant
+    # different seed → rebuild (cache keyed by seed)
+    es3 = create_ir_evaluation_set(insts, n_queries=4, seed=8,
+                                   cache_path=cache)
+    assert es3.seed == 8
+
+
+def test_create_ir_evaluation_set_cross_encoder():
+    insts = make_instances(6)
+
+    def fake_ce(pairs):
+        # label relevant when both halves share a word of length > 3
+        out = []
+        for q, d in pairs:
+            qw = set(w for w in q.split() if len(w) > 3)
+            dw = set(w for w in d.split() if len(w) > 3)
+            out.append(0.9 if qw & dw else 0.1)
+        return np.array(out)
+
+    es = create_ir_evaluation_set(
+        insts, n_queries=2, use_pos_examples=False,
+        use_part_pos_examples=False, cross_encoder_predict=fake_ce,
+        cross_encoder_threshold=0.4, seed=1)
+    assert any(es.relevant.values())
+    # stats available
+    s = es.stats()
+    assert s["mean"] >= 0
+
+
+def test_factory_sequential(tmp_path):
+    cfg = EncoderConfig.tiny()
+    loss_cfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=6)
+    ds = QuadrupletDataset(root, seed=0)
+    val_instances = ds[[0, 1, 2, 3]]
+    val_batches = [ds[[4, 5, 6, 7]]]
+    es = create_ir_evaluation_set(list(ds.store.iter_instances()), n_queries=3,
+                                  seed=2)
+    evaluator = get_sequential_evaluator(
+        cfg, loss_cfg, tok, val_instances, val_batches=val_batches,
+        ir_eval_set=es,
+        ir_cfg=IREvalConfig(accuracy_at_k=(1,), precision_recall_at_k=(1,),
+                            mrr_at_k=(3,), ndcg_at_k=(3,), map_at_k=(3,),
+                            score_functions=("cos_sim",)),
+        log_dir=str(tmp_path))
+    params = init_params(cfg, jax.random.key(0))
+    score = evaluator(params, 0, 0)
+    assert np.isfinite(score)
+    kinds = [k for k, _ in evaluator.evaluators]
+    assert kinds[-1] == "loss"  # loss last = main (reference ordering)

@@ -1,0 +1,97 @@
+"""Retrieval engine tests: exact top-k (tiled + sharded) vs numpy golden."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qst_tpu.retrieval import ExactIndex, exact_topk
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((500, 48)).astype(np.float32)
+    queries = rng.standard_normal((13, 48)).astype(np.float32)
+    return corpus, queries
+
+
+def _golden(queries, corpus, k, score):
+    if score == "cos_sim":
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        S = qn @ cn.T
+    elif score == "dot_score":
+        S = queries @ corpus.T
+    else:  # euclid_score
+        d = np.sqrt(((queries[:, None] - corpus[None]) ** 2).sum(-1))
+        S = 1.0 / (1.0 + d)
+    idx = np.argsort(-S, axis=1)[:, :k]
+    return np.take_along_axis(S, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("score", ["cos_sim", "dot_score", "euclid_score"])
+def test_exact_topk_matches_golden(data, score):
+    corpus, queries = data
+    gs, gi = _golden(queries, corpus, 10, score)
+    s, i = exact_topk(jnp.asarray(queries), jnp.asarray(corpus), 10, score,
+                      tile=128)  # force the scan/merge path
+    np.testing.assert_array_equal(np.asarray(i), gi)
+    np.testing.assert_allclose(np.asarray(s), gs, rtol=1e-4, atol=1e-5)
+
+
+def test_exact_topk_single_tile(data):
+    corpus, queries = data
+    gs, gi = _golden(queries, corpus, 5, "cos_sim")
+    s, i = exact_topk(jnp.asarray(queries), jnp.asarray(corpus), 5, "cos_sim",
+                      tile=100_000)  # single-tile path
+    np.testing.assert_array_equal(np.asarray(i), gi)
+
+
+def test_k_larger_than_corpus():
+    corpus = np.eye(4, 8, dtype=np.float32)
+    queries = corpus[:2]
+    idx = ExactIndex(corpus)
+    s, i = idx.search(queries, k=100)
+    assert i.shape == (2, 4)
+    assert i[0, 0] == 0 and i[1, 0] == 1
+
+
+def test_sharded_index_matches_single(data, mesh8):
+    corpus, queries = data
+    single = ExactIndex(corpus)
+    sharded = ExactIndex(corpus, mesh=mesh8)
+    for score in ("cos_sim", "dot_score", "euclid_score"):
+        s1, i1 = single.search(queries, k=7, score=score)
+        s2, i2 = sharded.search(queries, k=7, score=score)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_index_non_divisible(mesh8):
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((101, 16)).astype(np.float32)  # 101 % 8 != 0
+    queries = rng.standard_normal((3, 16)).astype(np.float32)
+    gs, gi = _golden(queries, corpus, 5, "cos_sim")
+    idx = ExactIndex(corpus, mesh=mesh8)
+    s, i = idx.search(queries, k=5)
+    np.testing.assert_array_equal(i, gi)
+    # padded rows must never be returned
+    assert i.max() < 101
+
+
+def test_search_ids_mapping():
+    corpus = np.eye(3, 4, dtype=np.float32)
+    idx = ExactIndex(corpus, ids=["doc_a", "doc_b", "doc_c"])
+    _, ids = idx.search_ids(corpus[:1], k=1)
+    assert ids == [["doc_a"]]
+
+
+def test_index_validation():
+    with pytest.raises(ValueError):
+        ExactIndex(np.zeros((0, 4), np.float32))
+    with pytest.raises(ValueError):
+        ExactIndex(np.zeros((4, 4), np.float32), ids=["a"])
+    idx = ExactIndex(np.eye(4, dtype=np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.eye(4, dtype=np.float32), score="bogus")

@@ -1,0 +1,193 @@
+"""Train layer tests: schedules, early stopping, train step (single +
+sharded), checkpoint save/restore, end-to-end tiny training run."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qst_tpu.core.config import EncoderConfig, LossConfig, TrainConfig
+from qst_tpu.data import QuadrupletCollator, QuadrupletDataset
+from qst_tpu.models import HashTokenizer
+from qst_tpu.train import (
+    CheckpointManager,
+    EarlyStopping,
+    Trainer,
+    create_train_state,
+    get_schedule,
+    make_eval_loss_fn,
+    make_train_step,
+)
+
+from helpers import write_synthetic_dataset
+
+TINY = EncoderConfig.tiny()
+LOSS = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+
+
+def _batch(B=8, S=TINY.max_seq_length, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(5, TINY.vocab_size, (4, B, S)).astype(np.int32)
+    mask = np.ones((4, B, S), np.int32)
+    mask[:, :, S // 2:] = 0
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+# ---------------------------------------------------------------- schedules
+def test_schedules_shapes_and_endpoints():
+    total, warmup, lr = 1000, 100, 1e-3
+    for name in ("constantlr", "warmupconstant", "warmuplinear",
+                 "warmupcosine", "warmupcosinewithhardrestarts"):
+        s = get_schedule(name, lr, warmup, total)
+        v0, vw, vend = float(s(0)), float(s(warmup)), float(s(total))
+        assert 0.0 <= v0 <= lr + 1e-9, name
+        assert abs(vw - lr) < lr * 0.05, f"{name}: {vw} != peak at warmup end"
+        if name == "warmuplinear":
+            assert vend < lr * 0.01
+        if name == "constantlr":
+            assert v0 == pytest.approx(lr)
+    with pytest.raises(ValueError):
+        get_schedule("bogus", lr, warmup, total)
+
+
+def test_warmup_is_monotonic():
+    s = get_schedule("warmuplinear", 1.0, 10, 100)
+    vals = [float(s(i)) for i in range(10)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    decay = [float(s(i)) for i in range(10, 100, 10)]
+    assert all(b <= a for a, b in zip(decay, decay[1:]))
+
+
+# ------------------------------------------------------------ early stopping
+def test_early_stopping_max_mode():
+    es = EarlyStopping(patience=2, mode="max")
+    assert not es.update(0.5, 0, 100)
+    assert not es.update(0.6, 0, 200)   # improved
+    assert not es.update(0.55, 1, 300)  # worse (1)
+    assert es.update(0.58, 1, 400)      # worse (2) → stop
+    assert es.best_score == 0.6 and es.best_steps == 200
+
+
+def test_early_stopping_min_mode_with_delta():
+    es = EarlyStopping(patience=1, mode="min", delta=0.05)
+    assert not es.update(1.0, 0, 1)
+    # 0.97 improves by < delta → counts as no improvement → stop
+    assert es.update(0.97, 0, 2)
+    with pytest.raises(ValueError):
+        EarlyStopping(mode="sideways")
+
+
+# ---------------------------------------------------------------- train step
+def test_train_step_reduces_loss():
+    tcfg = TrainConfig(batch_size=8, epochs=1, learning_rate=1e-3,
+                       scheduler="constantlr", warmup_steps=0)
+    state, tx = create_train_state(TINY, tcfg, jax.random.key(0), 100, LOSS)
+    step = make_train_step(TINY, LOSS, tx)
+    ids, mask = _batch()
+    losses = []
+    for i in range(12):
+        state, loss = step(state, ids, mask, jax.random.fold_in(jax.random.key(1), i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 12
+
+
+def test_train_step_d_regularized():
+    loss_cfg = LossConfig(kind="d_regularized", lmbd=0.1)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3, scheduler="constantlr")
+    state, tx = create_train_state(TINY, tcfg, jax.random.key(0), 50, loss_cfg)
+    assert state.discr_params is not None
+    step = make_train_step(TINY, loss_cfg, tx)
+    ids, mask = _batch(B=4)
+    state2, loss = step(state, ids, mask, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    # discriminator params must actually update
+    leaf0 = jax.tree.leaves(state.discr_params)[0]
+    # state was donated; compare against a fresh init instead
+    state_ref, _ = create_train_state(TINY, tcfg, jax.random.key(0), 50, loss_cfg)
+    leaf_new = jax.tree.leaves(state2.discr_params)[0]
+    leaf_old = jax.tree.leaves(state_ref.discr_params)[0]
+    assert not np.allclose(np.asarray(leaf_new), np.asarray(leaf_old))
+
+
+def test_train_step_sharded(mesh8):
+    """Data-parallel step over the 4x2 CPU mesh."""
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3, scheduler="constantlr")
+    state, tx = create_train_state(TINY, tcfg, jax.random.key(0), 50, LOSS)
+    step = make_train_step(TINY, LOSS, tx, mesh=mesh8)
+    ids, mask = _batch(B=8)
+    state2, loss = step(state, ids, mask, jax.random.key(3))
+    assert np.isfinite(float(loss))
+
+    # parity: sharded step == unsharded step on identical inputs
+    state_ref, tx2 = create_train_state(TINY, tcfg, jax.random.key(0), 50, LOSS)
+    step_ref = make_train_step(TINY, LOSS, tx2)
+    # dropout must be off for exact parity → use deterministic eval loss
+    eval_loss = make_eval_loss_fn(TINY, LOSS)
+    l_sharded = float(eval_loss(state2.params, ids, mask))
+    state_ref2, _ = step_ref(state_ref, ids, mask, jax.random.key(3))
+    l_ref = float(eval_loss(state_ref2.params, ids, mask))
+    np.testing.assert_allclose(l_sharded, l_ref, rtol=1e-4)
+
+
+def test_eval_loss_fn_matches_manual():
+    tcfg = TrainConfig()
+    state, _ = create_train_state(TINY, tcfg, jax.random.key(0), 10, LOSS)
+    eval_loss = make_eval_loss_fn(TINY, LOSS)
+    ids, mask = _batch(B=4)
+    val = float(eval_loss(state.params, ids, mask))
+    assert np.isfinite(val) and val >= 0
+
+
+# -------------------------------------------------------------- checkpoints
+def test_checkpoint_roundtrip(tmp_path):
+    tcfg = TrainConfig(batch_size=4, scheduler="constantlr")
+    state, tx = create_train_state(TINY, tcfg, jax.random.key(0), 10, LOSS)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_steps=2,
+                            total_limit=2, save_best=True, mode="max")
+    assert not mgr.maybe_save(state, 1)
+    assert mgr.maybe_save(state, 2)
+    assert mgr.update_best(state, 0.5)
+    assert not mgr.update_best(state, 0.4)  # no improvement
+    assert mgr.update_best(state, 0.9)
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), save_steps=2)
+    template, _ = create_train_state(TINY, tcfg, jax.random.key(7), 10, LOSS)
+    restored = mgr2.restore_latest(template)
+    assert restored is not None
+    orig_leaf = jax.tree.leaves(state.params)[0]
+    rest_leaf = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(orig_leaf), np.asarray(rest_leaf))
+    best = mgr2.restore_best(template)
+    assert best is not None
+    mgr2.close()
+
+
+# ------------------------------------------------------------- full trainer
+def test_trainer_end_to_end(tmp_path):
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=3, chunk_dim=8)
+    ds = QuadrupletDataset(root, n_pos=2, n_part_pos=2, n_neg=1, seed=1)
+    tok = HashTokenizer(vocab_size=TINY.vocab_size)
+    collator = QuadrupletCollator(tok, max_length=TINY.max_seq_length)
+
+    scores = iter([0.1, 0.5, 0.6, 0.6, 0.6, 0.6, 0.6, 0.6, 0.6, 0.6])
+
+    def evaluator(params, epoch, steps):
+        return next(scores, 0.6)
+
+    tcfg = TrainConfig(
+        batch_size=8, epochs=3, learning_rate=1e-3, scheduler="warmuplinear",
+        warmup_steps=2, evaluation_steps=2, checkpoint_save_steps=0,
+        early_stopping_patience=2, experiment_dir=str(tmp_path / "exp"))
+    trainer = Trainer(TINY, LOSS, tcfg, ds, collator, evaluator=evaluator)
+    result = trainer.train()
+    assert result.history[0]["epoch"] == -1  # pre-training eval
+    assert result.best_score == 0.6
+    assert result.stopped_early  # flat scores exhaust patience
+    assert os.path.isfile(os.path.join(tcfg.experiment_dir,
+                                       "experiment_config.json"))
+    assert result.steps_per_sec > 0
