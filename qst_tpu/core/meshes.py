@@ -40,9 +40,10 @@ def make_mesh(
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devs).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    # a smaller-than-world mesh takes a device prefix (e.g. 1x1 debug mesh)
+    arr = np.asarray(devs[: data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

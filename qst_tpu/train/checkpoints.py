@@ -62,6 +62,11 @@ class CheckpointManager:
             self._best_score = score
             path = os.path.join(self._best_dir, "state")
             self._best_ckpt.save(path, state, force=True)
+            # params-only copy: loadable without reconstructing the optimizer
+            # (the reference's save_best_model artifact equivalent)
+            self._best_ckpt.save(
+                os.path.join(self._best_dir, "params"), state.params,
+                force=True)
             self._best_ckpt.wait_until_finished()
         return improved
 
@@ -77,6 +82,13 @@ class CheckpointManager:
         if not os.path.isdir(path):
             return None
         return self._best_ckpt.restore(path, target=template)
+
+    def restore_best_params(self):
+        """→ the best params pytree (no template needed), or None."""
+        path = os.path.join(self._best_dir, "params")
+        if not os.path.isdir(path):
+            return None
+        return self._best_ckpt.restore(path)
 
     def close(self) -> None:
         self._mgr.wait_until_finished()

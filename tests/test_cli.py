@@ -1,0 +1,135 @@
+"""CLI end-to-end tests: dataset build → train → IR A/B eval, tiny configs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qst_tpu.cli import dataset_main, ir_eval_main, train_main
+
+from helpers import write_synthetic_dataset
+
+
+def _write_coco_ann(path, n_images=8):
+    groups = [
+        ["a cat sits on the mat", "the cat rests on a mat",
+         "a small cat lying on the rug", "a young cat on the carpet",
+         "a cat on a mat indoors"],
+        ["a dog runs in the park", "the dog sprints across the grass",
+         "a young dog playing in the field", "a dog chasing a ball outside",
+         "a dog running outdoors"],
+    ]
+    anns, images, aid = [], [], 0
+    for i in range(n_images):
+        images.append({"id": i})
+        for cap in groups[i % 2]:
+            anns.append({"id": aid, "image_id": i, "caption": cap})
+            aid += 1
+    with open(path, "w") as f:
+        json.dump({"images": images, "annotations": anns}, f)
+
+
+def test_dataset_cli_coco(tmp_path):
+    ann = str(tmp_path / "ann.json")
+    _write_coco_ann(ann)
+    rc = dataset_main.main([
+        "--dataset_type", "coco",
+        "--ann_file", ann,
+        "--output_root", str(tmp_path / "out"),
+        "--dataset_name", "mini",
+        "--chunk_dim", "4",
+        "--n_pos_examples", "2",
+        "--n_part_pos_examples", "2",
+        "--encoder_preset", "tiny",
+        "--part_pos_algorithm", "adaptive_crop",
+    ])
+    assert rc == 0
+    root = tmp_path / "out" / "mini"
+    assert (root / "chunk_0.json").is_file()
+    assert (root / "chunk_1.json").is_file()
+    assert (root / "chunk_n.json").is_file()
+    assert (tmp_path / "out" / "command_line_args.json").is_file()
+
+
+def test_dataset_cli_sentence_compression(tmp_path):
+    records = [
+        {"sentence": "the quick brown fox jumps over the lazy dog today",
+         "compression": "the fox jumps over the dog",
+         "compression_ratio": 0.7},
+        {"sentence": "a man rides a bright red bicycle through the busy town",
+         "compression": "man rides bicycle",
+         "compression_ratio": 0.3},
+    ] * 3
+    rec_file = str(tmp_path / "records.json")
+    with open(rec_file, "w") as f:
+        json.dump(records, f)
+    rc = dataset_main.main([
+        "--dataset_type", "sentence_compression",
+        "--records_file", rec_file,
+        "--output_root", str(tmp_path / "out"),
+        "--chunk_dim", "4",
+        "--n_pos_examples", "2",
+        "--n_part_pos_examples", "2",
+        "--no-verbose_check",
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "sent_compr" / "chunk_0.json").is_file()
+
+
+def test_dataset_cli_requires_input(tmp_path):
+    with pytest.raises(SystemExit):
+        dataset_main.main(["--dataset_type", "coco",
+                           "--output_root", str(tmp_path)])
+
+
+def test_train_and_ir_eval_cli(tmp_path):
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=3, chunk_dim=8)
+    exp = str(tmp_path / "exp")
+
+    rc = train_main.main([
+        "--dataset_root", root,
+        "--experiment_dir", exp,
+        "--encoder_preset", "tiny",
+        "--batch_size", "8",
+        "--epochs", "1",
+        "--learning_rate", "1e-3",
+        "--scheduler", "warmuplinear",
+        "--warmup_steps", "2",
+        "--evaluation_steps", "2",
+        "--checkpoint_save_steps", "2",
+        "--early_stopping_patience", "5",
+        "--val_fraction", "0.3",
+        "--mesh_data", "1",
+        "--manual_notes", "cli smoke test",
+    ])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(exp, "command_line_args.json"))
+    with open(os.path.join(exp, "command_line_args.json")) as f:
+        assert json.load(f)["manual_notes"] == "cli smoke test"
+    assert os.path.isdir(os.path.join(exp, "checkpoints", "best"))
+
+    rc = ir_eval_main.main([
+        "--dataset_root", root,
+        "--model_path", exp,
+        "--output_root", str(tmp_path / "ir"),
+        "--encoder_preset", "tiny",
+        "--n_queries", "6",
+        "--accuracy_at_k", "1", "3",
+        "--precision_recall_at_k", "1", "3",
+        "--mrr_at_k", "5",
+        "--ndcg_at_k", "5",
+        "--map_at_k", "5",
+        "--score_functions", "cos_sim",
+        "--mesh_data", "1",
+    ])
+    assert rc == 0
+    out_dirs = os.listdir(str(tmp_path / "ir"))
+    assert len(out_dirs) == 1  # sha256-keyed dir
+    with open(os.path.join(str(tmp_path / "ir"), out_dirs[0],
+                           "results.json")) as f:
+        results = json.load(f)
+    assert "baseline" in results and "trained" in results
+    assert "cos_sim" in results["baseline"]["metrics"]
+    assert "map@5" in results["baseline"]["metrics"]["cos_sim"]

@@ -77,8 +77,11 @@ def test_make_mesh_shapes(devices):
     assert m.shape == {"data": 4, "model": 2}
     m1 = make_mesh(devices=devices)  # data=-1 → all 8
     assert m1.shape == {"data": 8, "model": 1}
+    # sub-world meshes take a device prefix
+    m2 = make_mesh(data=3, model=2, devices=devices)
+    assert m2.shape == {"data": 3, "model": 2}
     with pytest.raises(ValueError):
-        make_mesh(data=3, model=2, devices=devices)
+        make_mesh(data=5, model=2, devices=devices)  # needs 10 > 8
 
 
 def test_sharded_batch_put(mesh8):
