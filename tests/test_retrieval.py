@@ -40,6 +40,39 @@ def test_exact_topk_matches_golden(data, score):
     np.testing.assert_allclose(np.asarray(s), gs, rtol=1e-4, atol=1e-5)
 
 
+def test_exact_topk_tiled_scan_path(rng):
+    """Corpus large enough to force the bucket-max scan path; includes an
+    adversarial block where several global top-k docs share one 128-bucket."""
+    N, D, k = 20_000, 32, 10
+    corpus = rng.standard_normal((N, D)).astype(np.float32) * 0.01
+    q = rng.standard_normal((3, D)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # plant the true top-k for query 0: 6 of them inside ONE bucket
+    planted = [5000, 5001, 5002, 5003, 5004, 5005, 9999, 12345, 17001, 19000]
+    for rank, docid in enumerate(planted):
+        corpus[docid] = qn[0] * (10.0 - 0.1 * rank)
+    # dot_score: planted magnitudes define a strict ranking (cosine would
+    # normalize them into ties)
+    gs, gi = _golden(q, corpus, k, "dot_score")
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(corpus), k, "dot_score",
+                      tile=8192)
+    np.testing.assert_array_equal(np.asarray(i), gi)
+    np.testing.assert_allclose(np.asarray(s), gs, rtol=1e-4, atol=1e-5)
+    assert list(np.asarray(i)[0]) == planted
+
+
+def test_exact_topk_tiled_non_divisible(rng):
+    """Scan path with N not divisible by the tile (padding correctness)."""
+    N, D, k = 9_777, 16, 5
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((4, D)).astype(np.float32)
+    gs, gi = _golden(q, corpus, k, "dot_score")
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(corpus), k, "dot_score",
+                      tile=4096)
+    np.testing.assert_array_equal(np.asarray(i), gi)
+    assert int(np.asarray(i).max()) < N
+
+
 def test_exact_topk_single_tile(data):
     corpus, queries = data
     gs, gi = _golden(queries, corpus, 5, "cos_sim")
