@@ -1,0 +1,15 @@
+from qst_tpu.parallel.sharding import (
+    spec_for_param,
+    tree_param_specs,
+    tree_shardings,
+    state_shardings,
+    create_sharded,
+)
+
+__all__ = [
+    "spec_for_param",
+    "tree_param_specs",
+    "tree_shardings",
+    "state_shardings",
+    "create_sharded",
+]

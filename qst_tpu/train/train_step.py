@@ -79,6 +79,42 @@ def create_train_state(
                       opt_state=opt_state, discr_params=discr_params), tx
 
 
+def create_train_state_sharded(
+    encoder_cfg: EncoderConfig,
+    train_cfg: TrainConfig,
+    rng: jax.Array,
+    total_steps: int,
+    mesh: Mesh,
+    loss_cfg: Optional[LossConfig] = None,
+):
+    """Tensor-parallel state creation: params (and optimizer moments)
+    materialize directly in the layout given by the qst_tpu.parallel rules —
+    attention heads and MLP width sharded over the ``model`` axis. The train
+    step then inherits these shardings through its arguments and XLA inserts
+    the TP collectives. → (state, tx, state_shardings)."""
+    from qst_tpu.parallel.sharding import create_sharded
+
+    tx = make_optimizer(train_cfg, total_steps)
+
+    def build():
+        from qst_tpu.models.discriminator import init_discriminator
+        from qst_tpu.models.sentence_encoder import init_params
+
+        params = init_params(encoder_cfg, rng)
+        discr_params = None
+        trainable = {"encoder": params}
+        if loss_cfg is not None and loss_cfg.kind == "d_regularized":
+            discr_params = init_discriminator(
+                encoder_cfg.hidden_size, jax.random.fold_in(rng, 1))
+            trainable = {"encoder": params, "discr": discr_params}
+        opt_state = tx.init(trainable)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state, discr_params=discr_params)
+
+    state, shardings = create_sharded(mesh, build)
+    return state, tx, shardings
+
+
 def make_train_step(
     encoder_cfg: EncoderConfig,
     loss_cfg: LossConfig,

@@ -84,8 +84,15 @@ class Trainer:
               resume: bool = False) -> TrainResult:
         cfg = self.train_cfg
         rng = rng if rng is not None else jax.random.key(cfg.seed)
-        state, tx = create_train_state(
-            self.encoder_cfg, cfg, rng, self.total_steps, self.loss_cfg)
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            from qst_tpu.train.train_step import create_train_state_sharded
+
+            state, tx, _ = create_train_state_sharded(
+                self.encoder_cfg, cfg, rng, self.total_steps, self.mesh,
+                self.loss_cfg)
+        else:
+            state, tx = create_train_state(
+                self.encoder_cfg, cfg, rng, self.total_steps, self.loss_cfg)
         step_fn = make_train_step(self.encoder_cfg, self.loss_cfg, tx, self.mesh)
 
         os.makedirs(cfg.experiment_dir, exist_ok=True)
