@@ -52,11 +52,26 @@ class BertEmbeddings(nn.Module):
         return x.astype(_dtype(c))
 
 
+def _flash_attention_available(cfg: EncoderConfig, seq_len: int,
+                               deterministic: bool) -> bool:
+    """Flash path applies for long sequences on TPU: S must satisfy the
+    kernel's 128-lane tiling, and attention dropout (unsupported inside the
+    kernel) must be inactive."""
+    if not cfg.use_flash_attention:
+        return False
+    if seq_len < 128 or seq_len % 128 != 0:
+        return False
+    if not deterministic and cfg.attention_dropout > 0.0:
+        return False
+    return True
+
+
 class BertSelfAttention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, deterministic: bool):
+    def __call__(self, hidden, attention_bias, attention_mask,
+                 deterministic: bool):
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
         dense = lambda name: nn.DenseGeneral(
@@ -64,15 +79,33 @@ class BertSelfAttention(nn.Module):
         q = dense("query")(hidden)
         k = dense("key")(hidden)
         v = dense("value")(hidden)
-        # (B, H, S, S) logits accumulated in f32 for softmax stability.
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.float32(head_dim))
-        logits = logits + attention_bias  # mask as additive bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
-        probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(_dtype(c))
+        S = hidden.shape[1]
+        if _flash_attention_available(c, S, deterministic):
+            # fused online-softmax kernel (jax pallas ops): O(S) memory for
+            # long-document retrieval; padding handled via segment ids
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = attention_mask.astype(jnp.int32)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=float(head_dim) ** -0.5,
+            ).transpose(0, 2, 1, 3).astype(_dtype(c))
+        else:
+            # (B, H, S, S) logits accumulated in f32 for softmax stability.
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / jnp.sqrt(jnp.float32(head_dim))
+            logits = logits + attention_bias  # mask as additive bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
+            probs = nn.Dropout(c.attention_dropout)(
+                probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(_dtype(c))
         out = nn.DenseGeneral(c.hidden_size, axis=(-2, -1), name="output_dense",
                               dtype=_dtype(c))(ctx)
         out = nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
@@ -83,10 +116,11 @@ class BertLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, deterministic: bool):
+    def __call__(self, hidden, attention_bias, attention_mask,
+                 deterministic: bool):
         c = self.cfg
         attn = BertSelfAttention(c, name="attention")(
-            hidden, attention_bias, deterministic)
+            hidden, attention_bias, attention_mask, deterministic)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_layer_norm",
                               dtype=jnp.float32)(attn + hidden).astype(_dtype(c))
         inter = nn.Dense(c.intermediate_size, name="intermediate", dtype=_dtype(c))(hidden)
@@ -124,5 +158,6 @@ class BertEncoder(nn.Module):
         bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
         bias = bias.astype(jnp.float32)
         for i in range(c.num_layers):
-            hidden = BertLayer(c, name=f"layer_{i}")(hidden, bias, deterministic)
+            hidden = BertLayer(c, name=f"layer_{i}")(
+                hidden, bias, attention_mask, deterministic)
         return hidden

@@ -1,0 +1,323 @@
+"""Flax Marian-equivalent seq2seq with jitted greedy decode.
+
+TPU-native replacement for the MarianMT generation the reference's
+backtranslation consumes through torch (``model.generate`` at reference
+backtranslation.py:84; SURVEY.md §2.3 "JAX greedy/beam decode loop over a
+Flax Marian-equivalent"). Architecture matches HF ``MarianMTModel``
+(BART-style post-LN encoder/decoder, sinusoidal positions, shared embeddings,
+scaled query attention, final-logits bias) so local checkpoints import with
+numerical parity (tested against a random-weight ``transformers.MarianMTModel``
+— no network needed).
+
+Decoding is a ``lax.fori_loop`` over positions with static shapes (the
+XLA-friendly formulation); sequences here are short captions, so per-step
+full-prefix decoding is used instead of a KV cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class Seq2SeqConfig:
+    vocab_size: int = 58101
+    d_model: int = 512
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    max_position_embeddings: int = 512
+    pad_token_id: int = 58100
+    eos_token_id: int = 0
+    decoder_start_token_id: int = 58100
+    scale_embedding: bool = True
+    activation: str = "swish"  # Helsinki-NLP checkpoints use swish (silu)
+    layer_norm_eps: float = 1e-5
+
+    @staticmethod
+    def tiny(**overrides: Any) -> "Seq2SeqConfig":
+        base = dict(vocab_size=100, d_model=32, encoder_layers=2,
+                    decoder_layers=2, num_heads=4, ffn_dim=64,
+                    max_position_embeddings=64, pad_token_id=99,
+                    eos_token_id=0, decoder_start_token_id=99,
+                    scale_embedding=False, activation="gelu")
+        base.update(overrides)
+        return Seq2SeqConfig(**base)
+
+
+def sinusoidal_positions(n_pos: int, dim: int) -> np.ndarray:
+    """HF Marian sinusoidal table: sin block then cos block."""
+    pos_enc = np.array(
+        [[p / np.power(10000, 2 * (j // 2) / dim) for j in range(dim)]
+         for p in range(n_pos)], dtype=np.float32)
+    out = np.zeros((n_pos, dim), np.float32)
+    sentinel = dim // 2 + dim % 2
+    out[:, :sentinel] = np.sin(pos_enc[:, 0::2])
+    out[:, sentinel:] = np.cos(pos_enc[:, 1::2])
+    return out
+
+
+def _act(name: str):
+    if name in ("swish", "silu"):
+        return jax.nn.silu
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation {name}")
+
+
+class MarianAttention(nn.Module):
+    cfg: Seq2SeqConfig
+
+    @nn.compact
+    def __call__(self, hidden, kv, bias):
+        c = self.cfg
+        hd = c.d_model // c.num_heads
+        q = nn.Dense(c.d_model, name="q_proj")(hidden) * (hd ** -0.5)
+        k = nn.Dense(c.d_model, name="k_proj")(kv)
+        v = nn.Dense(c.d_model, name="v_proj")(kv)
+        B, Tq, _ = hidden.shape
+        Tk = kv.shape[1]
+        q = q.reshape(B, Tq, c.num_heads, hd)
+        k = k.reshape(B, Tk, c.num_heads, hd)
+        v = v.reshape(B, Tk, c.num_heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits + bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, Tq, c.d_model)
+        return nn.Dense(c.d_model, name="out_proj")(ctx)
+
+
+class MarianEncoderLayer(nn.Module):
+    cfg: Seq2SeqConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias):
+        c = self.cfg
+        attn = MarianAttention(c, name="self_attn")(hidden, hidden, bias)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name="self_attn_layer_norm")(hidden + attn)
+        ff = nn.Dense(c.ffn_dim, name="fc1")(hidden)
+        ff = _act(c.activation)(ff)
+        ff = nn.Dense(c.d_model, name="fc2")(ff)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name="final_layer_norm")(hidden + ff)
+        return hidden
+
+
+class MarianDecoderLayer(nn.Module):
+    cfg: Seq2SeqConfig
+
+    @nn.compact
+    def __call__(self, hidden, enc_out, self_bias, cross_bias):
+        c = self.cfg
+        attn = MarianAttention(c, name="self_attn")(hidden, hidden, self_bias)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name="self_attn_layer_norm")(hidden + attn)
+        cross = MarianAttention(c, name="encoder_attn")(hidden, enc_out,
+                                                        cross_bias)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name="encoder_attn_layer_norm")(hidden + cross)
+        ff = nn.Dense(c.ffn_dim, name="fc1")(hidden)
+        ff = _act(c.activation)(ff)
+        ff = nn.Dense(c.d_model, name="fc2")(ff)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name="final_layer_norm")(hidden + ff)
+        return hidden
+
+
+def _mask_bias(mask):  # (B, T) → (B, 1, 1, T) additive
+    return jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+
+
+class MarianModule(nn.Module):
+    """Full encoder-decoder; __call__ → decoder vocab logits."""
+
+    cfg: Seq2SeqConfig
+
+    def setup(self):
+        c = self.cfg
+        self.shared = nn.Embed(c.vocab_size, c.d_model, name="shared")
+        self.positions = self.param(
+            "embed_positions",
+            lambda key, shape: jnp.asarray(
+                sinusoidal_positions(c.max_position_embeddings, c.d_model)),
+            (c.max_position_embeddings, c.d_model))
+        self.encoder_layers_ = [
+            MarianEncoderLayer(c, name=f"encoder_layer_{i}")
+            for i in range(c.encoder_layers)]
+        self.decoder_layers_ = [
+            MarianDecoderLayer(c, name=f"decoder_layer_{i}")
+            for i in range(c.decoder_layers)]
+        self.final_logits_bias = self.param(
+            "final_logits_bias", nn.initializers.zeros, (c.vocab_size,))
+
+    def _embed(self, ids):
+        c = self.cfg
+        scale = float(np.sqrt(c.d_model)) if c.scale_embedding else 1.0
+        x = self.shared(ids) * scale
+        T = ids.shape[1]
+        return x + self.positions[None, :T, :]
+
+    def encode(self, input_ids, attention_mask):
+        hidden = self._embed(input_ids)
+        bias = _mask_bias(attention_mask)
+        for layer in self.encoder_layers_:
+            hidden = layer(hidden, bias)
+        return hidden
+
+    def decode(self, decoder_ids, decoder_mask, enc_out, enc_mask):
+        hidden = self._embed(decoder_ids)
+        T = decoder_ids.shape[1]
+        causal = jnp.tril(jnp.ones((T, T), jnp.float32))[None, None]
+        pad = decoder_mask[:, None, None, :].astype(jnp.float32)
+        self_bias = jnp.where((causal * pad) > 0, 0.0, -1e9)
+        cross_bias = _mask_bias(enc_mask)
+        for layer in self.decoder_layers_:
+            hidden = layer(hidden, enc_out, self_bias, cross_bias)
+        logits = jnp.einsum("btd,vd->btv", hidden,
+                            self.shared.embedding,
+                            preferred_element_type=jnp.float32)
+        return logits + self.final_logits_bias[None, None, :]
+
+    def __call__(self, input_ids, attention_mask, decoder_ids, decoder_mask):
+        enc = self.encode(input_ids, attention_mask)
+        return self.decode(decoder_ids, decoder_mask, enc, attention_mask)
+
+
+def init_seq2seq(cfg: Seq2SeqConfig, rng: jax.Array):
+    model = MarianModule(cfg)
+    z = jnp.zeros((2, 8), jnp.int32)
+    m = jnp.ones((2, 8), jnp.int32)
+    return model.init({"params": rng}, z, m, z, m)["params"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length"))
+def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
+                  max_length: int = 64) -> jax.Array:
+    """Greedy generation, static shapes: → (B, max_length) token ids
+    (decoder-start prefix included; pads after EOS)."""
+    model = MarianModule(cfg)
+    B = input_ids.shape[0]
+    enc = model.apply({"params": params}, input_ids, attention_mask,
+                      method=MarianModule.encode)
+
+    tokens = jnp.full((B, max_length), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    done = jnp.zeros((B,), bool)
+
+    def body(t, carry):
+        tokens, done = carry
+        dec_mask = (jnp.arange(max_length)[None, :] <= t).astype(jnp.int32)
+        dec_mask = jnp.broadcast_to(dec_mask, (B, max_length))
+        logits = model.apply({"params": params}, tokens, dec_mask, enc,
+                             attention_mask, method=MarianModule.decode)
+        nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return tokens, done
+
+    tokens, _ = jax.lax.fori_loop(0, max_length - 1, body, (tokens, done))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# HF MarianMTModel import
+# ---------------------------------------------------------------------------
+
+def import_marian_params(state_dict: Mapping[str, Any],
+                         cfg: Seq2SeqConfig) -> Dict[str, Any]:
+    def _np(x):
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().numpy()
+        return np.asarray(x, dtype=np.float32)
+
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def dense(prefix):
+        return {"kernel": sd[prefix + ".weight"].T,
+                "bias": sd[prefix + ".bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    def attn(prefix):
+        return {
+            "q_proj": dense(prefix + ".q_proj"),
+            "k_proj": dense(prefix + ".k_proj"),
+            "v_proj": dense(prefix + ".v_proj"),
+            "out_proj": dense(prefix + ".out_proj"),
+        }
+
+    params: Dict[str, Any] = {
+        "shared": {"embedding": sd["model.shared.weight"]},
+        "embed_positions": sd["model.encoder.embed_positions.weight"],
+        "final_logits_bias": sd["final_logits_bias"].reshape(-1),
+    }
+    for i in range(cfg.encoder_layers):
+        p = f"model.encoder.layers.{i}"
+        params[f"encoder_layer_{i}"] = {
+            "self_attn": attn(p + ".self_attn"),
+            "self_attn_layer_norm": ln(p + ".self_attn_layer_norm"),
+            "fc1": dense(p + ".fc1"),
+            "fc2": dense(p + ".fc2"),
+            "final_layer_norm": ln(p + ".final_layer_norm"),
+        }
+    for i in range(cfg.decoder_layers):
+        p = f"model.decoder.layers.{i}"
+        params[f"decoder_layer_{i}"] = {
+            "self_attn": attn(p + ".self_attn"),
+            "self_attn_layer_norm": ln(p + ".self_attn_layer_norm"),
+            "encoder_attn": attn(p + ".encoder_attn"),
+            "encoder_attn_layer_norm": ln(p + ".encoder_attn_layer_norm"),
+            "fc1": dense(p + ".fc1"),
+            "fc2": dense(p + ".fc2"),
+            "final_layer_norm": ln(p + ".final_layer_norm"),
+        }
+    return params
+
+
+class JaxBacktranslator:
+    """en→fr→en roundtrip on the JAX seq2seq (TPU generation path).
+
+    tokenizers must provide ``batch_encode(texts, max_length) -> (ids, mask)``
+    and ``decode(ids) -> str``; models are (cfg, params) pairs.
+    """
+
+    def __init__(self, fwd: Tuple[Seq2SeqConfig, Any], bwd, tok_fwd, tok_bwd,
+                 max_length: int = 64):
+        self.fwd_cfg, self.fwd_params = fwd
+        self.bwd_cfg, self.bwd_params = bwd
+        self.tok_fwd, self.tok_bwd = tok_fwd, tok_bwd
+        self.max_length = max_length
+
+    def _translate(self, texts, cfg, params, tok):
+        ids, mask = tok.batch_encode(list(texts), max_length=self.max_length)
+        out = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                            self.max_length)
+        out = np.asarray(out)
+        results = []
+        for row in out:
+            toks = []
+            for t in row[1:]:  # skip decoder-start
+                if t == cfg.eos_token_id or t == cfg.pad_token_id:
+                    break
+                toks.append(int(t))
+            results.append(tok.decode(toks))
+        return results
+
+    def backtranslate(self, texts):
+        fr = self._translate(texts, self.fwd_cfg, self.fwd_params, self.tok_fwd)
+        return self._translate(fr, self.bwd_cfg, self.bwd_params, self.tok_bwd)
