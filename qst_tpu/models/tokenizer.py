@@ -235,7 +235,15 @@ class HashTokenizer:
 
 
 def load_tokenizer(path_or_mock: str, vocab_size: int = 512, **kw):
-    """Load a WordPiece vocab if a path exists, else a HashTokenizer mock."""
+    """Load a WordPiece vocab if a path exists (native C++ batch tokenizer
+    when buildable, else pure Python), otherwise a HashTokenizer mock."""
     if path_or_mock and os.path.isfile(path_or_mock):
+        try:
+            from qst_tpu.native import FastWordPieceTokenizer, native_available
+
+            if native_available():
+                return FastWordPieceTokenizer.from_vocab_file(path_or_mock, **kw)
+        except Exception:  # pragma: no cover - native build problems
+            pass
         return WordPieceTokenizer.from_vocab_file(path_or_mock, **kw)
     return HashTokenizer(vocab_size=vocab_size)
