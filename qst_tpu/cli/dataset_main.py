@@ -59,6 +59,10 @@ def _encode_fn(args):
     path; production runs import a real checkpoint)."""
     import jax
 
+    from qst_tpu.core.meshes import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from qst_tpu.models.sentence_encoder import SentenceEncoder, init_params
 
     cfg = encoder_from_args(args.encoder_preset)

@@ -79,6 +79,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from qst_tpu.core.meshes import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from qst_tpu.core.meshes import make_mesh
     from qst_tpu.data.quadruplet_dataset import QuadrupletDataset
     from qst_tpu.evals.eval_set import create_ir_evaluation_set

@@ -97,6 +97,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from qst_tpu.core.meshes import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from qst_tpu.core.meshes import make_mesh
     from qst_tpu.core.rng import seed_everything
     from qst_tpu.data.collate import QuadrupletCollator

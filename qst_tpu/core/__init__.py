@@ -10,7 +10,7 @@ from qst_tpu.core.config import (
     save_config,
     load_config,
 )
-from qst_tpu.core.meshes import make_mesh, dtype_policy, DTypePolicy
+from qst_tpu.core.meshes import make_mesh, dtype_policy, DTypePolicy, enable_compilation_cache
 from qst_tpu.core.rng import RngStream, seed_everything
 from qst_tpu.core.telemetry import CsvSink, JsonLogSink, StepTimer
 
@@ -26,6 +26,7 @@ __all__ = [
     "save_config",
     "load_config",
     "make_mesh",
+    "enable_compilation_cache",
     "dtype_policy",
     "DTypePolicy",
     "RngStream",

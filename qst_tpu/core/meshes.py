@@ -9,6 +9,7 @@ code path from one chip to a pod slice.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -19,6 +20,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+DEFAULT_COMPILATION_CACHE = os.path.expanduser("~/.cache/jax_comp")
+
+
+def enable_compilation_cache(path: str = DEFAULT_COMPILATION_CACHE) -> None:
+    """Turn on JAX's persistent compilation cache (idempotent). Remote/AOT
+    compiles of large programs can take minutes; every entry point calls
+    this so repeated runs are instant."""
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def make_mesh(
