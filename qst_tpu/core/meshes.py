@@ -27,7 +27,17 @@ DEFAULT_COMPILATION_CACHE = os.path.expanduser("~/.cache/jax_comp")
 def enable_compilation_cache(path: str = DEFAULT_COMPILATION_CACHE) -> None:
     """Turn on JAX's persistent compilation cache (idempotent). Remote/AOT
     compiles of large programs can take minutes; every entry point calls
-    this so repeated runs are instant."""
+    this so repeated runs are instant.
+
+    TPU-only: XLA:CPU AOT cache entries bake in host machine features and
+    loading them on a different host risks SIGILL (observed as cpu_aot_loader
+    feature-mismatch errors), so the cache stays off for the CPU backend."""
+    try:
+        platform = jax.default_backend()
+    except Exception:  # backend init failure → leave config untouched
+        return
+    if platform == "cpu":
+        return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -233,6 +233,76 @@ def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     return tokens
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_length", "num_beams",
+                                    "length_penalty"))
+def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
+                max_length: int = 64, num_beams: int = 4,
+                length_penalty: float = 1.0) -> jax.Array:
+    """Beam-search generation (static shapes): → (B, max_length) best beam.
+
+    Standard sequence beam search with HF-style length penalty
+    ``score / ((5+len)/6)^alpha``-free simple form ``score / len^alpha``
+    applied at finalization; finished beams (emitted EOS) hold their score
+    and emit only PAD afterwards. Matches ``MarianMTModel.generate`` with
+    ``num_beams=n, do_sample=False, length_penalty=1.0`` on short sequences
+    (parity-tested with random weights).
+    """
+    model = MarianModule(cfg)
+    B = input_ids.shape[0]
+    V = cfg.vocab_size
+    K = num_beams
+    NEG = -1e9
+
+    enc = model.apply({"params": params}, input_ids, attention_mask,
+                      method=MarianModule.encode)
+    # expand encoder state per beam: (B*K, S, D)
+    enc_k = jnp.repeat(enc, K, axis=0)
+    mask_k = jnp.repeat(attention_mask, K, axis=0)
+
+    tokens = jnp.full((B, K, max_length), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
+    # beam 0 active, others start at -inf so step 1 fans out from beam 0
+    scores = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))
+    done = jnp.zeros((B, K), bool)
+    lengths = jnp.ones((B, K), jnp.int32)  # generated-token counts
+
+    def body(t, carry):
+        tokens, scores, done, lengths = carry
+        flat_tokens = tokens.reshape(B * K, max_length)
+        dec_mask = (jnp.arange(max_length)[None, :] <= t).astype(jnp.int32)
+        dec_mask = jnp.broadcast_to(dec_mask, (B * K, max_length))
+        logits = model.apply({"params": params}, flat_tokens, dec_mask,
+                             enc_k, mask_k, method=MarianModule.decode)
+        logp = jax.nn.log_softmax(logits[:, t, :].astype(jnp.float32), -1)
+        logp = logp.reshape(B, K, V)
+        # finished beams may only extend with PAD at zero cost
+        pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
+        logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
+
+        cand = scores[:, :, None] + logp                 # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        top_s, top_i = jax.lax.top_k(flat, K)            # (B, K)
+        beam_idx = top_i // V
+        tok_idx = (top_i % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(
+            tokens, beam_idx[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
+        tokens = tokens.at[:, :, t + 1].set(
+            jnp.where(done, cfg.pad_token_id, tok_idx))
+        lengths = jnp.where(done, lengths, lengths + 1)
+        done = done | (tok_idx == cfg.eos_token_id)
+        return tokens, top_s, done, lengths
+
+    tokens, scores, done, lengths = jax.lax.fori_loop(
+        0, max_length - 1, body, (tokens, scores, done, lengths))
+    final = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    best = jnp.argmax(final, axis=1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0, :]
+
+
 # ---------------------------------------------------------------------------
 # HF MarianMTModel import
 # ---------------------------------------------------------------------------

