@@ -13,3 +13,10 @@ __all__ = [
     "state_shardings",
     "create_sharded",
 ]
+from qst_tpu.parallel.context import (
+    full_attention,
+    context_parallel_attention,
+    ring_attention,
+)
+
+__all__ += ["full_attention", "context_parallel_attention", "ring_attention"]
