@@ -111,6 +111,7 @@ class EncoderConfig:
     """
 
     name: str = "minilm-l6"
+    arch: str = "bert"  # "bert" | "mpnet"
     vocab_size: int = 30522
     hidden_size: int = 384
     num_layers: int = 6
@@ -136,6 +137,7 @@ class EncoderConfig:
     def mpnet_base(**overrides: Any) -> "EncoderConfig":
         base = dict(
             name="mpnet-base",
+            arch="mpnet",
             vocab_size=30527,
             hidden_size=768,
             num_layers=12,

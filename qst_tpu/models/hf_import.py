@@ -99,7 +99,12 @@ def import_bert_params(
 def import_sentence_encoder_params(
     state_dict: Mapping[str, Any], cfg: EncoderConfig
 ) -> Dict[str, Any]:
-    """→ params pytree for ``SentenceEncoderModule`` (wraps the trunk)."""
+    """→ params pytree for ``SentenceEncoderModule`` (wraps the trunk);
+    dispatches on the configured architecture."""
+    if cfg.arch == "mpnet":
+        from qst_tpu.models.mpnet import import_mpnet_params
+
+        return {"encoder": import_mpnet_params(state_dict, cfg)}
     return {"encoder": import_bert_params(state_dict, cfg)}
 
 

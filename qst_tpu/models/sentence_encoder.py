@@ -43,8 +43,14 @@ class SentenceEncoderModule(nn.Module):
         token_type_ids: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> Dict[str, jax.Array]:
-        hidden = BertEncoder(self.cfg, name="encoder")(
-            input_ids, attention_mask, token_type_ids, deterministic)
+        if self.cfg.arch == "mpnet":
+            from qst_tpu.models.mpnet import MPNetEncoder
+
+            trunk = MPNetEncoder(self.cfg, name="encoder")
+        else:
+            trunk = BertEncoder(self.cfg, name="encoder")
+        hidden = trunk(input_ids, attention_mask, token_type_ids,
+                       deterministic)
         pooled = POOLERS[self.cfg.pooling](hidden, attention_mask)
         if self.cfg.normalize:
             pooled = l2_normalize(pooled)
