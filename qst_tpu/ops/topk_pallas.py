@@ -169,3 +169,119 @@ def reference_topk(queries: jax.Array, corpus: jax.Array,
     s = jnp.dot(queries.astype(jnp.float32), corpus.astype(jnp.float32).T,
                 preferred_element_type=jnp.float32)
     return jax.lax.top_k(s, k)
+
+
+# ---------------------------------------------------------------------------
+# v2: deferred merge — the kernel only fuses matmul + bucket-max (no VPU
+# merge loop, scores never reach HBM); bucket selection happens hierarchically
+# in XLA over the (Q, N/128) maxima, and winning buckets are re-scored from a
+# small corpus gather. Exactness: top-k bucket maxima cover the top-k docs
+# (see module docstring), applied once per hierarchy level.
+# ---------------------------------------------------------------------------
+
+QB2 = 256   # query rows per grid step
+CB2 = 2048  # corpus rows per grid step (16 buckets); sized with the f32
+            # scores block + double-buffered corpus inside the 16MB VMEM
+
+
+def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int):
+    ct = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (QB2, CB2)
+    base = ct * CB2
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    s = jnp.where(col < n_real, s, -jnp.inf)
+    bmax = jnp.max(s.reshape(QB2, CB2 // BUCKET, BUCKET), axis=2)
+    # output blocks are 128 lanes wide (Mosaic tiling); pad the CB2/128
+    # real maxima with -inf filler columns
+    nb = CB2 // BUCKET
+    out_ref[:] = jnp.pad(bmax, ((0, 0), (0, BUCKET - nb)),
+                         constant_values=-jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bucket_maxima(queries: jax.Array, corpus: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Fused scores→128-bucket maxima, (Q, ceil(N/128)) f32."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    q_pad = ((Q + QB2 - 1) // QB2) * QB2
+    c_pad = ((N + CB2 - 1) // CB2) * CB2
+    queries_p = _pad_to(queries, q_pad)
+    corpus_p = _pad_to(corpus, c_pad)
+    compute_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
+    queries_p = queries_p.astype(compute_dtype)
+    corpus_p = corpus_p.astype(compute_dtype)
+    n_qb, n_ct = q_pad // QB2, c_pad // CB2
+    nb_tile = CB2 // BUCKET
+
+    out = pl.pallas_call(
+        functools.partial(_bucket_max_kernel, n_real=N),
+        grid=(n_qb, n_ct),
+        in_specs=[
+            pl.BlockSpec((QB2, D), lambda qb, ct: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB2, D), lambda qb, ct: (ct, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((QB2, BUCKET), lambda qb, ct: (qb, ct),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, n_ct * BUCKET), jnp.float32),
+        interpret=interpret,
+    )(queries_p, corpus_p)
+    # strip the per-tile filler columns: (Q, n_ct, 128)[..., :nb_tile]
+    out = out[:Q].reshape(Q, n_ct, BUCKET)[:, :, :nb_tile]
+    out = out.reshape(Q, n_ct * nb_tile)
+    n_buckets = -(-N // BUCKET)
+    return out[:, :n_buckets]
+
+
+def _hierarchical_top_buckets(bm: jax.Array, k: int) -> jax.Array:
+    """→ (Q, k) winning bucket ids from (Q, NB) bucket maxima without a wide
+    top_k: super-bucket maxima → narrow top_k → slice gather → narrow top_k."""
+    Q, NB = bm.shape
+    nb_pad = ((NB + BUCKET - 1) // BUCKET) * BUCKET
+    if nb_pad != NB:
+        bm = jnp.pad(bm, ((0, 0), (0, nb_pad - NB)),
+                     constant_values=-jnp.inf)
+    n_super = nb_pad // BUCKET
+    tiles = bm.reshape(Q, n_super, BUCKET)
+    smax = jnp.max(tiles, axis=2)                       # (Q, n_super)
+    kk = min(k, n_super)
+    _, s_idx = jax.lax.top_k(smax, kk)                  # (Q, kk)
+    cand = jnp.take_along_axis(tiles, s_idx[:, :, None], axis=1)
+    cand = cand.reshape(Q, kk * BUCKET)                 # (Q, kk*128)
+    _, pos = jax.lax.top_k(cand, k)
+    super_id = jnp.take_along_axis(s_idx, pos // BUCKET, axis=1)
+    return super_id * BUCKET + pos % BUCKET             # bucket ids (Q, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_topk_v2(queries: jax.Array, corpus: jax.Array, k: int,
+                   interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k, v2 pipeline: Pallas fused bucket-maxima → hierarchical
+    bucket selection → re-score winning buckets from a (Q·k·128, D) corpus
+    gather → final narrow top-k. Supports any k ≤ 128."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    bm = bucket_maxima(queries, corpus, interpret=interpret)
+    bucket_ids = _hierarchical_top_buckets(bm, k)       # (Q, k)
+
+    # gather the winning buckets' docs and re-score exactly
+    doc_ids = (bucket_ids[:, :, None] * BUCKET
+               + jnp.arange(BUCKET)[None, None, :])     # (Q, k, 128)
+    doc_ids_flat = doc_ids.reshape(Q, k * BUCKET)
+    valid = doc_ids_flat < N
+    safe_ids = jnp.minimum(doc_ids_flat, N - 1)
+    docs = corpus[safe_ids]                             # (Q, k*128, D)
+    scores = jnp.einsum("qd,qmd->qm", queries.astype(jnp.float32),
+                        docs.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    top_s, pos = jax.lax.top_k(scores, k)
+    top_i = jnp.take_along_axis(doc_ids_flat, pos, axis=1)
+    return top_s, top_i

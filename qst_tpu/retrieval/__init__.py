@@ -1,3 +1,4 @@
 from qst_tpu.retrieval.index import ExactIndex, exact_topk
+from qst_tpu.retrieval.retriever import Retriever, save_index, load_index
 
-__all__ = ["ExactIndex", "exact_topk"]
+__all__ = ["ExactIndex", "exact_topk", "Retriever", "save_index", "load_index"]

@@ -1,0 +1,103 @@
+"""Text-level retrieval service: encoder + exact index + persistence.
+
+The serving-facing surface of the retrieval engine (the reference exposes
+retrieval only inside its evaluator; a production framework needs a direct
+query API): build an index from texts, persist/reload it, and search by
+query text. The index artifact is a directory with the embedding matrix
+(``.npy``), doc ids, and metadata — reloadable without re-encoding the
+corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qst_tpu.retrieval.index import ExactIndex
+
+INDEX_FILE = "embeddings.npy"
+IDS_FILE = "ids.json"
+META_FILE = "index_meta.json"
+
+
+def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
+               metadata: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, INDEX_FILE), np.asarray(embeddings))
+    with open(os.path.join(path, IDS_FILE), "w") as f:
+        json.dump(list(ids), f)
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump({"n_docs": int(len(ids)),
+                   "dim": int(np.asarray(embeddings).shape[1]),
+                   **(metadata or {})}, f)
+
+
+def load_index(path: str, mesh=None) -> Tuple[ExactIndex, dict]:
+    emb = np.load(os.path.join(path, INDEX_FILE))
+    with open(os.path.join(path, IDS_FILE)) as f:
+        ids = json.load(f)
+    with open(os.path.join(path, META_FILE)) as f:
+        meta = json.load(f)
+    return ExactIndex(emb, ids=ids, mesh=mesh), meta
+
+
+class Retriever:
+    """encode-and-search by text.
+
+    encoder: anything with ``encode(texts) -> (N, D) np.ndarray``
+    (qst_tpu.models.SentenceEncoder). Corpus docs may carry external ids.
+    """
+
+    def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim"):
+        self.encoder = encoder
+        self.mesh = mesh
+        self.score = score
+        self.index: Optional[ExactIndex] = None
+        self._doc_texts: List[str] = []
+
+    def build(self, docs: Sequence[str],
+              ids: Optional[Sequence] = None) -> "Retriever":
+        emb = np.asarray(self.encoder.encode(list(docs)))
+        self.index = ExactIndex(emb, ids=list(ids) if ids is not None
+                                else list(range(len(docs))), mesh=self.mesh)
+        self._doc_texts = list(docs)
+        return self
+
+    def save(self, path: str) -> None:
+        if self.index is None:
+            raise RuntimeError("no index built")
+        save_index(path, np.asarray(self.index.embeddings)[: self.index.n_docs],
+                   self.index.ids, {"score": self.score})
+        with open(os.path.join(path, "docs.json"), "w") as f:
+            json.dump(self._doc_texts, f)
+
+    def load(self, path: str) -> "Retriever":
+        self.index, meta = load_index(path, mesh=self.mesh)
+        docs_path = os.path.join(path, "docs.json")
+        if os.path.isfile(docs_path):
+            with open(docs_path) as f:
+                self._doc_texts = json.load(f)
+        self.score = meta.get("score", self.score)
+        return self
+
+    def search(self, queries: Sequence[str], k: int = 10,
+               return_texts: bool = False):
+        """→ list per query of (doc_id, score[, text]) tuples."""
+        if self.index is None:
+            raise RuntimeError("no index built or loaded")
+        q_emb = np.asarray(self.encoder.encode(list(queries)))
+        scores, ids = self.index.search_ids(q_emb, k=k, score=self.score)
+        out = []
+        for qi in range(len(queries)):
+            row = []
+            for rank in range(len(ids[qi])):
+                entry = (ids[qi][rank], float(scores[qi][rank]))
+                if return_texts and self._doc_texts:
+                    pos = self.index.ids.index(ids[qi][rank])
+                    entry = (*entry, self._doc_texts[pos])
+                row.append(entry)
+            out.append(row)
+        return out
