@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_bool_flag(p, "use_pos_examples", True)
     add_bool_flag(p, "use_part_pos_examples", True)
     add_bool_flag(p, "use_cross_encoder", False)
+    add_bool_flag(p, "generate_query_variations", False,
+                  "paraphrase queries with the augmentation stack "
+                  "(reference evaluators.py:453)")
     add_bool_flag(p, "use_test_set", False,
                   "hold out a test split of instances for the eval set")
     p.add_argument("--test_fraction", type=float, default=0.2)
@@ -132,12 +135,20 @@ def main(argv=None) -> int:
                           tokenizer)
         cross_encoder_predict = ce.predict
 
+    query_variation_fn = None
+    if args.generate_query_variations:
+        from qst_tpu.data.sentence_compression import generate_variations
+
+        query_variation_fn = lambda text: generate_variations(
+            text, n=1, seed=args.seed)[0]
+
     eval_set = create_ir_evaluation_set(
         instances, n_queries=args.n_queries,
         use_pos_examples=args.use_pos_examples,
         use_part_pos_examples=args.use_part_pos_examples,
         cross_encoder_predict=cross_encoder_predict,
         cross_encoder_threshold=args.cross_encoder_threshold,
+        query_variation_fn=query_variation_fn,
         seed=args.seed,
         cache_path=os.path.join(out_dir, "ir_eval_set.json"))
 

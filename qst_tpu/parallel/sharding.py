@@ -32,11 +32,12 @@ from qst_tpu.core.meshes import DATA_AXIS, MODEL_AXIS
 # (path regex, spec by rank) — first match wins; pattern matches the
 # '/'-joined path of the leaf.
 _RULES: Tuple[Tuple[str, dict], ...] = (
-    # attention projections: DenseGeneral (H, heads, hd) kernel / (heads, hd) bias
-    (r"attention/(query|key|value)/kernel$", {3: P(None, MODEL_AXIS, None)}),
-    (r"attention/(query|key|value)/bias$", {2: P(MODEL_AXIS, None)}),
-    (r"attention/output_dense/kernel$", {3: P(MODEL_AXIS, None, None)}),
-    (r"attention/output_dense/bias$", {1: P()}),
+    # attention projections: DenseGeneral (H, heads, hd) kernel / (heads, hd)
+    # bias — BERT names (query/key/value/output_dense) and MPNet names (q/k/v/o)
+    (r"attention/(query|key|value|q|k|v)/kernel$", {3: P(None, MODEL_AXIS, None)}),
+    (r"attention/(query|key|value|q|k|v)/bias$", {2: P(MODEL_AXIS, None)}),
+    (r"attention/(output_dense|o)/kernel$", {3: P(MODEL_AXIS, None, None)}),
+    (r"attention/(output_dense|o)/bias$", {1: P()}),
     # MLP column/row parallel
     (r"/intermediate/kernel$", {2: P(None, MODEL_AXIS)}),
     (r"/intermediate/bias$", {1: P(MODEL_AXIS)}),

@@ -39,6 +39,27 @@ def test_spec_rules():
     assert spec_for_param(
         "1/0/mu/encoder/layer_0/attention/query/kernel", 3) == \
         P(None, "model", None)
+    # MPNet attention naming (q/k/v/o)
+    assert spec_for_param("encoder/layer_0/attention/q/kernel", 3) == \
+        P(None, "model", None)
+    assert spec_for_param("encoder/layer_0/attention/o/kernel", 3) == \
+        P("model", None, None)
+
+
+def test_mpnet_tp_state(mesh8):
+    """Tensor-parallel state creation works for the MPNet architecture."""
+    from qst_tpu.core.config import EncoderConfig
+
+    mpnet_tiny = EncoderConfig(
+        name="mpnet-tp", arch="mpnet", vocab_size=128, hidden_size=32,
+        num_layers=1, num_heads=4, intermediate_size=64,
+        max_position_embeddings=64, max_seq_length=16, dtype="float32",
+        pad_token_id=1)
+    tcfg = TrainConfig(batch_size=8, scheduler="constantlr")
+    state, tx, _ = create_train_state_sharded(
+        mpnet_tiny, tcfg, jax.random.key(0), 10, mesh8, LOSS)
+    qk = state.params["encoder"]["layer_0"]["attention"]["q"]["kernel"]
+    assert "model" in tuple(qk.sharding.spec)
 
 
 def test_tree_param_specs_structure():
