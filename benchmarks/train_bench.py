@@ -59,6 +59,29 @@ def main() -> None:
         "quadruplets_per_sec": round(steps_per_sec * B, 1),
     }))
 
+    # multi-step driver: K steps per dispatch (amortizes launch overhead)
+    from qst_tpu.train.train_step import make_multi_step
+
+    K = 8
+    multi = make_multi_step(cfg, loss_cfg, tx, K)
+    sids = jnp.broadcast_to(ids, (K, *ids.shape))
+    smask = jnp.broadcast_to(mask, (K, *mask.shape))
+    keys = jax.random.split(jax.random.key(5), K)
+    state, losses = multi(state, sids, smask, keys)
+    _ = float(losses[-1])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, losses = multi(state, sids, smask, keys)
+        _ = float(losses[-1])
+    elapsed = time.perf_counter() - t0
+    sps = ITERS * K / elapsed
+    print(json.dumps({
+        "metric": "train_steps_per_sec_multistep_k8",
+        "value": round(sps, 2),
+        "unit": "steps/sec/chip",
+        "quadruplets_per_sec": round(sps * B, 1),
+    }))
+
 
 if __name__ == "__main__":
     main()

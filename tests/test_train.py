@@ -191,3 +191,55 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.isfile(os.path.join(tcfg.experiment_dir,
                                        "experiment_config.json"))
     assert result.steps_per_sec > 0
+
+
+def test_multi_step_matches_sequential_singles():
+    """K scanned steps in one dispatch == K sequential single steps."""
+    from qst_tpu.train.train_step import make_multi_step
+
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3,
+                       scheduler="constantlr")
+    K = 3
+    rng = np.random.default_rng(0)
+    S = TINY.max_seq_length
+    ids = rng.integers(5, TINY.vocab_size, (K, 4, 4, S)).astype(np.int32)
+    mask = np.ones((K, 4, 4, S), np.int32)
+    keys = jax.random.split(jax.random.key(7), K)
+
+    state_m, tx_m = create_train_state(TINY, tcfg, jax.random.key(0), 50, LOSS)
+    multi = make_multi_step(TINY, LOSS, tx_m, K)
+    state_m, losses = multi(state_m, jnp.asarray(ids), jnp.asarray(mask), keys)
+    assert losses.shape == (K,)
+
+    state_s, tx_s = create_train_state(TINY, tcfg, jax.random.key(0), 50, LOSS)
+    step = make_train_step(TINY, LOSS, tx_s)
+    singles = []
+    for i in range(K):
+        state_s, l = step(state_s, jnp.asarray(ids[i]), jnp.asarray(mask[i]),
+                          keys[i])
+        singles.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses), singles, rtol=1e-5)
+    # params: Adam's normalized updates amplify last-ulp reduction-order
+    # differences (scan vs straight-line compilation) to O(lr) per element,
+    # so parity is bounded by ~2*lr, not float precision
+    for a, b in zip(jax.tree.leaves(state_m.params),
+                    jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3)
+
+
+def test_multi_step_sharded(mesh8):
+    from qst_tpu.train.train_step import make_multi_step
+
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                       scheduler="constantlr")
+    K = 2
+    rng = np.random.default_rng(1)
+    S = TINY.max_seq_length
+    ids = jnp.asarray(rng.integers(5, TINY.vocab_size, (K, 4, 8, S)), jnp.int32)
+    mask = jnp.ones((K, 4, 8, S), jnp.int32)
+    keys = jax.random.split(jax.random.key(3), K)
+    state, tx = create_train_state(TINY, tcfg, jax.random.key(0), 50, LOSS)
+    multi = make_multi_step(TINY, LOSS, tx, K, mesh=mesh8)
+    state, losses = multi(state, ids, mask, keys)
+    assert np.isfinite(np.asarray(losses)).all()
