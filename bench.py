@@ -12,7 +12,7 @@ numbers of its own — BASELINE.md.)
 Measurement notes (this environment):
 - under the axon relay, ``jax.block_until_ready`` does not guarantee the
   execution finished — results are materialized to host every iteration;
-- each dispatch carries ~30 ms of relay round-trip; Q=2048 queries per call
+- each dispatch carries ~30 ms of relay round-trip; Q=4096 queries per call
   amortizes it (sustained-throughput serving shape);
 - a persistent compilation cache is enabled so repeated runs skip the
   (remote) compile.
@@ -28,7 +28,7 @@ import numpy as np
 
 N_DOCS = 1_000_000
 DIM = 384           # MiniLM-L6 embedding width
-N_QUERIES = 2048    # per search call
+N_QUERIES = 4096    # per search call (sustained-throughput serving shape)
 K = 10
 ITERS = 10
 TARGET_QPS_PER_CHIP = 10_000 / 8

@@ -67,7 +67,10 @@ class Trainer:
         evaluator: Optional[Callable[[Any, int, int], float]] = None,
         mesh=None,
         steps_per_epoch: Optional[int] = None,
+        steps_per_call: int = 1,
     ):
+        if steps_per_call < 1:
+            raise ValueError(f"steps_per_call must be >= 1, {steps_per_call}")
         self.encoder_cfg = encoder_cfg
         self.loss_cfg = loss_cfg
         self.train_cfg = train_cfg
@@ -75,6 +78,7 @@ class Trainer:
         self.collator = collator
         self.evaluator = evaluator
         self.mesh = mesh
+        self.steps_per_call = steps_per_call
         self.steps_per_epoch = steps_per_epoch or max(
             1, len(dataset) // train_cfg.batch_size)
         self.total_steps = self.steps_per_epoch * train_cfg.epochs
@@ -94,6 +98,12 @@ class Trainer:
             state, tx = create_train_state(
                 self.encoder_cfg, cfg, rng, self.total_steps, self.loss_cfg)
         step_fn = make_train_step(self.encoder_cfg, self.loss_cfg, tx, self.mesh)
+        multi_fn = None
+        if self.steps_per_call > 1:
+            from qst_tpu.train.train_step import make_multi_step
+
+            multi_fn = make_multi_step(self.encoder_cfg, self.loss_cfg, tx,
+                                       self.steps_per_call, self.mesh)
 
         os.makedirs(cfg.experiment_dir, exist_ok=True)
         save_config(
@@ -145,16 +155,46 @@ class Trainer:
                 self.dataset.iter_batches(cfg.batch_size, shuffle=True,
                                           epoch=epoch,
                                           step_offset=global_step),
-                transform=self.collator, depth=2)
-            for qb in prefetch:
-                dropout_rng = jax.random.fold_in(rng, global_step + 1)
-                with self.timer.phase("train_step"):
-                    state, loss = step_fn(
-                        state, jnp.asarray(qb.input_ids),
-                        jnp.asarray(qb.attention_mask), dropout_rng)
-                global_step += 1
-                compiled_steps += 1
-                if cfg.evaluation_steps > 0 and global_step % cfg.evaluation_steps == 0:
+                transform=self.collator, depth=2 * self.steps_per_call)
+            pending = []
+            iterator = iter(prefetch)
+            exhausted = False
+            while not exhausted and not stop:
+                # collect up to steps_per_call collated batches
+                while len(pending) < self.steps_per_call:
+                    try:
+                        pending.append(next(iterator))
+                    except StopIteration:
+                        exhausted = True
+                        break
+                if not pending:
+                    break
+                step_before = global_step
+                K = len(pending)
+                if multi_fn is not None and K == self.steps_per_call:
+                    ids = jnp.asarray(np.stack([b.input_ids for b in pending]))
+                    masks = jnp.asarray(
+                        np.stack([b.attention_mask for b in pending]))
+                    rngs = jnp.stack([
+                        jax.random.fold_in(rng, global_step + 1 + j)
+                        for j in range(K)])
+                    with self.timer.phase("train_step"):
+                        state, losses = multi_fn(state, ids, masks, rngs)
+                    loss = losses[-1]
+                    global_step += K
+                    compiled_steps += K
+                else:  # remainder (or steps_per_call == 1): single steps
+                    for qb in pending:
+                        dropout_rng = jax.random.fold_in(rng, global_step + 1)
+                        with self.timer.phase("train_step"):
+                            state, loss = step_fn(
+                                state, jnp.asarray(qb.input_ids),
+                                jnp.asarray(qb.attention_mask), dropout_rng)
+                        global_step += 1
+                        compiled_steps += 1
+                pending = []
+                ev = cfg.evaluation_steps
+                if ev > 0 and (step_before // ev) != (global_step // ev):
                     loss_val = float(loss)
                     loss_log.append({"epoch": epoch, "steps": global_step,
                                      "loss": loss_val})
@@ -163,7 +203,9 @@ class Trainer:
                         stop = True
                         prefetch.close()
                         break
-                ckpt.maybe_save(state, global_step)
+                cs = cfg.checkpoint_save_steps
+                if cs > 0 and (step_before // cs) != (global_step // cs):
+                    ckpt.save_now(state, global_step)
             if not stop:
                 score = run_eval(epoch, global_step)
                 if score is not None and stopper.update(score, epoch, global_step):

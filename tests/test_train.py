@@ -243,3 +243,29 @@ def test_multi_step_sharded(mesh8):
     multi = make_multi_step(TINY, LOSS, tx, K, mesh=mesh8)
     state, losses = multi(state, ids, mask, keys)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """Trainer with the multi-step driver (incl. a remainder group) matches
+    the single-step trainer's step count and produces a working model."""
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=8)
+    ds = QuadrupletDataset(root, seed=1)
+    tok = HashTokenizer(vocab_size=TINY.vocab_size)
+    collator = QuadrupletCollator(tok, max_length=TINY.max_seq_length)
+    tcfg = TrainConfig(
+        batch_size=5, epochs=2, learning_rate=1e-3, scheduler="constantlr",
+        evaluation_steps=2, checkpoint_save_steps=0,
+        early_stopping_patience=50, experiment_dir=str(tmp_path / "expK"))
+    evals = []
+    trainer = Trainer(TINY, LOSS, tcfg, ds, collator,
+                      evaluator=lambda p, e, s: evals.append(s) or 0.5,
+                      steps_per_call=3)
+    result = trainer.train()
+    # 16 instances / batch 5 = 3 steps/epoch -> multi(3) + none remainder,
+    # 2 epochs = 6 steps total
+    assert int(result.state.step) == 6
+    # eval cadence (every 2 steps) fired across multi-step boundaries
+    assert any(s > 0 for s in evals)
+    with pytest.raises(ValueError):
+        Trainer(TINY, LOSS, tcfg, ds, collator, steps_per_call=0)
