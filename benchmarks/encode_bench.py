@@ -1,6 +1,6 @@
 """Secondary benchmark: encode throughput (sentences/sec/chip).
 
-MiniLM-L6-size sentence encoder, bf16 compute, S=128, batch 512 — the
+MiniLM-L6-size sentence encoder, bf16 compute, S=128, batch 2048 — the
 corpus-indexing workload (BASELINE.md "encode sents/sec/chip, to be measured
 and tracked"). Prints one JSON line.
 """
@@ -17,7 +17,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-B, S, ITERS = 512, 128, 10
+B, S, ITERS = 2048, 128, 8
 
 
 def main() -> None:

@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=14)
     p.add_argument("--experiment_dir", required=True)
     p.add_argument("--manual_notes", default="")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps fused into one device dispatch "
+                        "(lax.scan multi-step driver)")
     # parallelism
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="-1 = all devices on the data axis")
@@ -191,7 +194,8 @@ def main(argv=None) -> int:
         log_dir=args.experiment_dir, mesh=None)
 
     trainer = Trainer(encoder_cfg, loss_cfg, train_cfg, base_ds, collator,
-                      evaluator=evaluator, mesh=mesh)
+                      evaluator=evaluator, mesh=mesh,
+                      steps_per_call=args.steps_per_call)
     result = trainer.train(rng=jax.random.key(args.seed), resume=args.resume)
     logger.info(
         "done: best=%.6f (epoch %d), %d evals, %.2f steps/s, early_stop=%s",
