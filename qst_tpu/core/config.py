@@ -128,6 +128,8 @@ class EncoderConfig:
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     pad_token_id: int = 0
     use_flash_attention: bool = False
+    remat: bool = False  # jax.checkpoint each layer: recompute activations
+    #                      in backward, trading FLOPs for memory
 
     @staticmethod
     def minilm_l6(**overrides: Any) -> "EncoderConfig":
@@ -206,6 +208,7 @@ class TrainConfig:
     checkpoint_save_total_limit: int = 2
     save_best_model: bool = True
     use_amp: bool = True  # bf16 compute on TPU
+    gradient_accumulation_steps: int = 1
     early_stopping_patience: int = 5
     early_stopping_delta: float = 0.0
     early_stopping_mode: str = "max"

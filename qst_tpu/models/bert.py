@@ -157,7 +157,12 @@ class BertEncoder(nn.Module):
         # additive mask bias: 0 where attended, large-negative where padded
         bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
         bias = bias.astype(jnp.float32)
+        layer_cls = BertLayer
+        if c.remat:
+            # recompute layer activations in the backward pass — the
+            # standard FLOPs-for-HBM trade for long sequences / big batches
+            layer_cls = nn.remat(BertLayer, static_argnums=(4,))
         for i in range(c.num_layers):
-            hidden = BertLayer(c, name=f"layer_{i}")(
+            hidden = layer_cls(c, name=f"layer_{i}")(
                 hidden, bias, attention_mask, deterministic)
         return hidden

@@ -49,11 +49,17 @@ def make_optimizer(train_cfg: TrainConfig, total_steps: int) -> optax.GradientTr
 
     schedule = get_schedule(train_cfg.scheduler, train_cfg.learning_rate,
                             train_cfg.warmup_steps, total_steps)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.max_grad_norm),
         optax.adamw(schedule, weight_decay=train_cfg.weight_decay,
                     b1=0.9, b2=0.999, eps=1e-8),
     )
+    accum = getattr(train_cfg, "gradient_accumulation_steps", 1)
+    if accum > 1:
+        # average grads over N micro-batches before one optimizer update —
+        # effective batch = N * batch_size at constant device memory
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def create_train_state(
