@@ -134,9 +134,12 @@ class MPNetEncoder(nn.Module):
         pad_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
         bias = rel_bias + pad_bias.astype(jnp.float32)
 
+        layer_cls = MPNetLayer
+        if c.remat:
+            layer_cls = nn.remat(MPNetLayer, static_argnums=(3,))
         for i in range(c.num_layers):
-            hidden = MPNetLayer(c, name=f"layer_{i}")(hidden, bias,
-                                                      deterministic)
+            hidden = layer_cls(c, name=f"layer_{i}")(hidden, bias,
+                                                     deterministic)
         return hidden
 
 
