@@ -1,4 +1,6 @@
 from qst_tpu.retrieval.index import ExactIndex, exact_topk
 from qst_tpu.retrieval.retriever import Retriever, save_index, load_index
+from qst_tpu.retrieval.updatable import UpdatableIndex
 
-__all__ = ["ExactIndex", "exact_topk", "Retriever", "save_index", "load_index"]
+__all__ = ["ExactIndex", "exact_topk", "Retriever", "save_index",
+           "load_index", "UpdatableIndex"]
