@@ -51,10 +51,15 @@ class Retriever:
     (qst_tpu.models.SentenceEncoder). Corpus docs may carry external ids.
     """
 
-    def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim"):
+    def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim",
+                 reranker: Any = None):
+        """reranker: optional cross-encoder with
+        ``predict(pairs) -> scores`` (qst_tpu.models.CrossEncoder) for
+        two-stage retrieval: dense top-N candidates → pair re-scoring."""
         self.encoder = encoder
         self.mesh = mesh
         self.score = score
+        self.reranker = reranker
         self.index: Optional[ExactIndex] = None
         self._doc_texts: List[str] = []
 
@@ -84,20 +89,42 @@ class Retriever:
         return self
 
     def search(self, queries: Sequence[str], k: int = 10,
-               return_texts: bool = False):
-        """→ list per query of (doc_id, score[, text]) tuples."""
+               return_texts: bool = False, rerank_k: int = 0):
+        """→ list per query of (doc_id, score[, text]) tuples.
+
+        rerank_k > 0 enables two-stage retrieval: the dense index returns
+        ``rerank_k`` candidates, the cross-encoder re-scores each
+        (query, doc) pair, and the top ``k`` by rerank score are returned
+        (the reference's cross-encoder relevance scoring, applied at
+        serve time).
+        """
         if self.index is None:
             raise RuntimeError("no index built or loaded")
+        if rerank_k:
+            if self.reranker is None:
+                raise RuntimeError("rerank_k given but no reranker configured")
+            if not self._doc_texts:
+                raise RuntimeError("reranking needs doc texts (build() them)")
         q_emb = np.asarray(self.encoder.encode(list(queries)))
-        scores, ids = self.index.search_ids(q_emb, k=k, score=self.score)
+        fetch_k = max(k, rerank_k) if rerank_k else k
+        scores, ids = self.index.search_ids(q_emb, k=fetch_k, score=self.score)
+
+        pos_of = {i: p for p, i in enumerate(self.index.ids)}
         out = []
-        for qi in range(len(queries)):
+        for qi, query in enumerate(queries):
+            cand = list(zip(ids[qi], [float(s) for s in scores[qi]]))
+            if rerank_k:
+                texts = [self._doc_texts[pos_of[i]] for i, _ in cand]
+                ce_scores = np.asarray(
+                    self.reranker.predict([(query, t) for t in texts]))
+                order = np.argsort(-ce_scores)[:k]
+                cand = [(cand[int(j)][0], float(ce_scores[int(j)]))
+                        for j in order]
             row = []
-            for rank in range(len(ids[qi])):
-                entry = (ids[qi][rank], float(scores[qi][rank]))
+            for doc_id, s in cand[:k]:
+                entry = (doc_id, s)
                 if return_texts and self._doc_texts:
-                    pos = self.index.ids.index(ids[qi][rank])
-                    entry = (*entry, self._doc_texts[pos])
+                    entry = (*entry, self._doc_texts[pos_of[doc_id]])
                 row.append(entry)
             out.append(row)
         return out

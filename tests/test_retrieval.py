@@ -128,3 +128,17 @@ def test_index_validation():
     idx = ExactIndex(np.eye(4, dtype=np.float32))
     with pytest.raises(ValueError):
         idx.search(np.eye(4, dtype=np.float32), score="bogus")
+
+
+def test_sharded_index_large_shards_bucketed(mesh8, rng):
+    """Shards wide enough to trigger the bucketed local top-k path
+    (>4096 and 128-divisible per shard) must stay exact."""
+    N, D, k = 8 * 4096 + 128, 16, 7  # 33k docs → >4k rows per shard
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((5, D)).astype(np.float32)
+    gs, gi = _golden(queries, corpus, k, "cos_sim")
+    idx = ExactIndex(corpus, mesh=mesh8)
+    assert idx.shard_rows > 4096  # bucketed path engaged
+    s, i = idx.search(queries, k=k)
+    np.testing.assert_array_equal(i, gi)
+    np.testing.assert_allclose(s, gs, rtol=1e-4, atol=1e-5)

