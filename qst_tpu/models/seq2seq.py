@@ -78,25 +78,54 @@ def _act(name: str):
 class MarianAttention(nn.Module):
     cfg: Seq2SeqConfig
 
-    @nn.compact
-    def __call__(self, hidden, kv, bias):
+    def setup(self):
+        c = self.cfg
+        self.q_proj = nn.Dense(c.d_model, name="q_proj")
+        self.k_proj = nn.Dense(c.d_model, name="k_proj")
+        self.v_proj = nn.Dense(c.d_model, name="v_proj")
+        self.out_proj = nn.Dense(c.d_model, name="out_proj")
+
+    def _heads(self, x):
         c = self.cfg
         hd = c.d_model // c.num_heads
-        q = nn.Dense(c.d_model, name="q_proj")(hidden) * (hd ** -0.5)
-        k = nn.Dense(c.d_model, name="k_proj")(kv)
-        v = nn.Dense(c.d_model, name="v_proj")(kv)
-        B, Tq, _ = hidden.shape
-        Tk = kv.shape[1]
-        q = q.reshape(B, Tq, c.num_heads, hd)
-        k = k.reshape(B, Tk, c.num_heads, hd)
-        v = v.reshape(B, Tk, c.num_heads, hd)
+        return x.reshape(*x.shape[:-1], c.num_heads, hd)
+
+    def _attend(self, q, k, v, bias):
+        c = self.cfg
+        B, Tq = q.shape[0], q.shape[1]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits + bias, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(B, Tq, c.d_model)
-        return nn.Dense(c.d_model, name="out_proj")(ctx)
+        return self.out_proj(ctx.reshape(B, Tq, c.d_model))
+
+    def __call__(self, hidden, kv, bias):
+        hd = self.cfg.d_model // self.cfg.num_heads
+        q = self._heads(self.q_proj(hidden) * (hd ** -0.5))
+        k = self._heads(self.k_proj(kv))
+        v = self._heads(self.v_proj(kv))
+        return self._attend(q, k, v, bias)
+
+    def project_kv(self, kv):
+        """Precompute (k, v) heads — cross-attention cache entries."""
+        return self._heads(self.k_proj(kv)), self._heads(self.v_proj(kv))
+
+    def step(self, hidden_t, k_cache, v_cache, bias):
+        """Single-token attention against a cached (B, L, nh, hd) k/v."""
+        hd = self.cfg.d_model // self.cfg.num_heads
+        q = self._heads(self.q_proj(hidden_t) * (hd ** -0.5))  # (B, 1, nh, hd)
+        return self._attend(q, k_cache, v_cache, bias)
+
+    def append_kv(self, hidden_t, k_cache, v_cache, t):
+        """Write this token's k/v into position t of the caches."""
+        k_new = self._heads(self.k_proj(hidden_t))  # (B, 1, nh, hd)
+        v_new = self._heads(self.v_proj(hidden_t))
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, t, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, t, 0, 0))
+        return k_cache, v_cache
 
 
 class MarianEncoderLayer(nn.Module):
@@ -119,22 +148,48 @@ class MarianEncoderLayer(nn.Module):
 class MarianDecoderLayer(nn.Module):
     cfg: Seq2SeqConfig
 
-    @nn.compact
-    def __call__(self, hidden, enc_out, self_bias, cross_bias):
+    def setup(self):
         c = self.cfg
-        attn = MarianAttention(c, name="self_attn")(hidden, hidden, self_bias)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
-                              name="self_attn_layer_norm")(hidden + attn)
-        cross = MarianAttention(c, name="encoder_attn")(hidden, enc_out,
-                                                        cross_bias)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
-                              name="encoder_attn_layer_norm")(hidden + cross)
-        ff = nn.Dense(c.ffn_dim, name="fc1")(hidden)
-        ff = _act(c.activation)(ff)
-        ff = nn.Dense(c.d_model, name="fc2")(ff)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
-                              name="final_layer_norm")(hidden + ff)
-        return hidden
+        self.self_attn = MarianAttention(c, name="self_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="self_attn_layer_norm")
+        self.encoder_attn = MarianAttention(c, name="encoder_attn")
+        self.encoder_attn_layer_norm = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="encoder_attn_layer_norm")
+        self.fc1 = nn.Dense(c.ffn_dim, name="fc1")
+        self.fc2 = nn.Dense(c.d_model, name="fc2")
+        self.final_layer_norm = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="final_layer_norm")
+
+    def _ffn(self, hidden):
+        ff = self.fc2(_act(self.cfg.activation)(self.fc1(hidden)))
+        return self.final_layer_norm(hidden + ff)
+
+    def __call__(self, hidden, enc_out, self_bias, cross_bias):
+        attn = self.self_attn(hidden, hidden, self_bias)
+        hidden = self.self_attn_layer_norm(hidden + attn)
+        cross = self.encoder_attn(hidden, enc_out, cross_bias)
+        hidden = self.encoder_attn_layer_norm(hidden + cross)
+        return self._ffn(hidden)
+
+    def step(self, hidden_t, cache, cross_bias, self_bias, t):
+        """Single-token step with KV cache: → (hidden_t, updated cache).
+
+        cache = {"self_k", "self_v" (B, L, nh, hd), "cross_k", "cross_v"}.
+        """
+        k_c, v_c = self.self_attn.append_kv(
+            hidden_t, cache["self_k"], cache["self_v"], t)
+        attn = self.self_attn.step(hidden_t, k_c, v_c, self_bias)
+        hidden_t = self.self_attn_layer_norm(hidden_t + attn)
+        cross = self.encoder_attn.step(
+            hidden_t, cache["cross_k"], cache["cross_v"], cross_bias)
+        hidden_t = self.encoder_attn_layer_norm(hidden_t + cross)
+        new_cache = {**cache, "self_k": k_c, "self_v": v_c}
+        return self._ffn(hidden_t), new_cache
+
+    def init_cross_cache(self, enc_out):
+        k, v = self.encoder_attn.project_kv(enc_out)
+        return k, v
 
 
 def _mask_bias(mask):  # (B, T) → (B, 1, 1, T) additive
@@ -195,6 +250,47 @@ class MarianModule(nn.Module):
         enc = self.encode(input_ids, attention_mask)
         return self.decode(decoder_ids, decoder_mask, enc, attention_mask)
 
+    # -- KV-cached single-token decoding (O(L) generation) ------------------
+    def init_decode_cache(self, enc_out, max_length: int):
+        """Per-layer KV caches: empty self-attn slots + precomputed
+        cross-attn projections of the encoder output."""
+        c = self.cfg
+        B = enc_out.shape[0]
+        nh, hd = c.num_heads, c.d_model // c.num_heads
+        caches = []
+        for layer in self.decoder_layers_:
+            ck, cv = layer.init_cross_cache(enc_out)
+            caches.append({
+                "self_k": jnp.zeros((B, max_length, nh, hd), jnp.float32),
+                "self_v": jnp.zeros((B, max_length, nh, hd), jnp.float32),
+                "cross_k": ck,
+                "cross_v": cv,
+            })
+        return caches
+
+    def decode_token(self, tok_t, t, enc_mask, caches):
+        """One decoder step: tok_t (B, 1) at position t → (logits (B, V),
+        updated caches)."""
+        c = self.cfg
+        scale = float(np.sqrt(c.d_model)) if c.scale_embedding else 1.0
+        x = self.shared(tok_t) * scale
+        pos = jax.lax.dynamic_slice(self.positions, (t, 0), (1, c.d_model))
+        hidden_t = x + pos[None, :, :]
+        L = caches[0]["self_k"].shape[1]
+        # attend over cache slots 0..t only
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3)
+        self_bias = jnp.where(slot <= t, 0.0, -1e9).astype(jnp.float32)
+        cross_bias = _mask_bias(enc_mask)
+        new_caches = []
+        for layer, cache in zip(self.decoder_layers_, caches):
+            hidden_t, cache = layer.step(hidden_t, cache, cross_bias,
+                                         self_bias, t)
+            new_caches.append(cache)
+        logits = jnp.einsum("btd,vd->btv", hidden_t, self.shared.embedding,
+                            preferred_element_type=jnp.float32)
+        return (logits + self.final_logits_bias[None, None, :])[:, 0, :], \
+            new_caches
+
 
 def init_seq2seq(cfg: Seq2SeqConfig, rng: jax.Array):
     model = MarianModule(cfg)
@@ -230,6 +326,41 @@ def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
         return tokens, done
 
     tokens, _ = jax.lax.fori_loop(0, max_length - 1, body, (tokens, done))
+    return tokens
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length"))
+def greedy_decode_cached(params, input_ids, attention_mask,
+                         cfg: Seq2SeqConfig,
+                         max_length: int = 64) -> jax.Array:
+    """KV-cached greedy generation: one O(1) decoder step per token instead
+    of re-running the full prefix (O(L) total vs O(L²)); token-identical to
+    :func:`greedy_decode`."""
+    model = MarianModule(cfg)
+    B = input_ids.shape[0]
+    enc = model.apply({"params": params}, input_ids, attention_mask,
+                      method=MarianModule.encode)
+    caches = model.apply({"params": params}, enc, max_length,
+                         method=MarianModule.init_decode_cache)
+
+    tokens = jnp.full((B, max_length), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    done = jnp.zeros((B,), bool)
+
+    def body(t, carry):
+        tokens, done, caches = carry
+        tok_t = jax.lax.dynamic_slice(tokens, (0, t), (B, 1))
+        logits, caches = model.apply(
+            {"params": params}, tok_t, t, attention_mask, caches,
+            method=MarianModule.decode_token)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return tokens, done, caches
+
+    tokens, _, _ = jax.lax.fori_loop(0, max_length - 1, body,
+                                     (tokens, done, caches))
     return tokens
 
 
@@ -375,8 +506,8 @@ class JaxBacktranslator:
 
     def _translate(self, texts, cfg, params, tok):
         ids, mask = tok.batch_encode(list(texts), max_length=self.max_length)
-        out = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask), cfg,
-                            self.max_length)
+        out = greedy_decode_cached(params, jnp.asarray(ids),
+                                   jnp.asarray(mask), cfg, self.max_length)
         out = np.asarray(out)
         results = []
         for row in out:

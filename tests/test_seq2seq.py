@@ -171,3 +171,16 @@ def test_jax_backtranslator_roundtrip():
     out = bt.backtranslate(["hello world", "a cat"])
     assert len(out) == 2
     assert all(isinstance(o, str) for o in out)
+
+
+def test_cached_greedy_matches_uncached(hf_pair, rng):
+    """KV-cached decode must be token-identical to full-prefix greedy."""
+    from qst_tpu.models.seq2seq import greedy_decode_cached
+
+    _, params = hf_pair
+    ids, mask = _inputs(rng)
+    g = np.asarray(greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                 TINY, 14))
+    c = np.asarray(greedy_decode_cached(params, jnp.asarray(ids),
+                                        jnp.asarray(mask), TINY, 14))
+    np.testing.assert_array_equal(c, g)
