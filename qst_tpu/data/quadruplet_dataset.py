@@ -78,6 +78,30 @@ class QuadrupletDataset:
         self.miner = miner
         self._rng = np.random.default_rng(seed)
 
+    @classmethod
+    def from_config(cls, cfg, encode_fn=None,
+                    transform=None) -> "QuadrupletDataset":
+        """Build from a :class:`qst_tpu.core.config.DataConfig`. When an
+        ``encode_fn`` is given, a device-side NegativeMiner is attached with
+        the config's threshold/mode/refresh settings."""
+        from qst_tpu.data.mining import EmbeddingTable, NegativeMiner
+
+        ds = cls(
+            root=cfg.root,
+            chunk_indices=list(range(cfg.n_chunks)) if cfg.n_chunks else None,
+            hard_contrastive_mode=cfg.hard_contrastive_mode,
+            n_pos=cfg.n_pos, n_part_pos=cfg.n_part_pos, n_neg=cfg.n_neg,
+            cache_size=cfg.cache_size, transform=transform, seed=cfg.seed)
+        if encode_fn is not None:
+            table = EmbeddingTable(ds.store.all_positive_captions(),
+                                   encode_fn,
+                                   refresh_steps=cfg.mining_refresh_steps)
+            ds.miner = NegativeMiner(
+                table, encode_fn, mode=cfg.hard_contrastive_mode,
+                threshold=cfg.neg_sim_threshold,
+                max_attempts=cfg.neg_max_attempts, seed=cfg.seed)
+        return ds
+
     def __len__(self) -> int:
         return len(self.store)
 

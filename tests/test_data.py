@@ -195,3 +195,21 @@ def test_collator_shapes(dataset_root):
     assert ids.shape == (16, 16)
     # role 0 row 0 must be the tokenized anchor of instance 0
     np.testing.assert_array_equal(ids[0], batch.input_ids[0, 0])
+
+
+def test_dataset_from_config(dataset_root):
+    from qst_tpu.core.config import DataConfig
+
+    root, total = dataset_root
+    cfg = DataConfig(root=root, n_pos=2, n_part_pos=1, n_neg=2,
+                     hard_contrastive_mode=HARD_CONTRASTIVE_TRAIN,
+                     neg_sim_threshold=0.2, mining_refresh_steps=10, seed=3)
+    ds = QuadrupletDataset.from_config(cfg, encode_fn=lambda t: hash_embed(list(t)))
+    assert len(ds) == total
+    assert ds.miner is not None
+    assert ds.miner.threshold == 0.2
+    item = ds[0]
+    assert len(item[KEY_POSITIVE]) == 2 and len(item[KEY_NEGATIVE]) == 2
+    # config without encode_fn → no miner (random fallback)
+    ds2 = QuadrupletDataset.from_config(cfg)
+    assert ds2.miner is None
