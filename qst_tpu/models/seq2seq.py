@@ -434,6 +434,81 @@ def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0, :]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_length", "num_beams",
+                                    "length_penalty"))
+def beam_decode_cached(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
+                       max_length: int = 64, num_beams: int = 4,
+                       length_penalty: float = 1.0) -> jax.Array:
+    """KV-cached beam search: O(1) decoder work per (beam, token); beam
+    reordering gathers the self-attention caches along the beam axis.
+    Token-identical to :func:`beam_decode`."""
+    model = MarianModule(cfg)
+    B = input_ids.shape[0]
+    V, K = cfg.vocab_size, num_beams
+    NEG = -1e9
+
+    enc = model.apply({"params": params}, input_ids, attention_mask,
+                      method=MarianModule.encode)
+    enc_k = jnp.repeat(enc, K, axis=0)                    # (B*K, S, D)
+    mask_k = jnp.repeat(attention_mask, K, axis=0)
+    caches = model.apply({"params": params}, enc_k, max_length,
+                         method=MarianModule.init_decode_cache)
+
+    tokens = jnp.full((B, K, max_length), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
+    scores = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))
+    done = jnp.zeros((B, K), bool)
+    lengths = jnp.ones((B, K), jnp.int32)
+
+    def reorder(cache_leaf, beam_idx):
+        # (B*K, L, nh, hd) gathered along the beam axis per batch row
+        BK = cache_leaf.shape[0]
+        leaf = cache_leaf.reshape(B, K, *cache_leaf.shape[1:])
+        idx = beam_idx.reshape(B, K, 1, 1, 1)
+        leaf = jnp.take_along_axis(leaf, idx, axis=1)
+        return leaf.reshape(BK, *cache_leaf.shape[1:])
+
+    def body(t, carry):
+        tokens, scores, done, lengths, caches = carry
+        tok_t = jax.lax.dynamic_slice(
+            tokens.reshape(B * K, max_length), (0, t), (B * K, 1))
+        logits, caches = model.apply(
+            {"params": params}, tok_t, t, mask_k, caches,
+            method=MarianModule.decode_token)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp.reshape(B, K, V)
+        pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
+        logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
+
+        cand = scores[:, :, None] + logp
+        top_s, top_i = jax.lax.top_k(cand.reshape(B, K * V), K)
+        beam_idx = top_i // V
+        tok_idx = (top_i % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
+        # reorder self-attention caches to follow the surviving beams
+        caches = [
+            {**c,
+             "self_k": reorder(c["self_k"], beam_idx),
+             "self_v": reorder(c["self_v"], beam_idx)}
+            for c in caches
+        ]
+        tokens = tokens.at[:, :, t + 1].set(
+            jnp.where(done, cfg.pad_token_id, tok_idx))
+        lengths = jnp.where(done, lengths, lengths + 1)
+        done = done | (tok_idx == cfg.eos_token_id)
+        return tokens, top_s, done, lengths, caches
+
+    tokens, scores, done, lengths, _ = jax.lax.fori_loop(
+        0, max_length - 1, body, (tokens, scores, done, lengths, caches))
+    final = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    best = jnp.argmax(final, axis=1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0, :]
+
+
 # ---------------------------------------------------------------------------
 # HF MarianMTModel import
 # ---------------------------------------------------------------------------

@@ -184,3 +184,18 @@ def test_cached_greedy_matches_uncached(hf_pair, rng):
     c = np.asarray(greedy_decode_cached(params, jnp.asarray(ids),
                                         jnp.asarray(mask), TINY, 14))
     np.testing.assert_array_equal(c, g)
+
+
+def test_cached_beam_matches_uncached(hf_pair, rng):
+    """KV-cached beam search must be token-identical to the full-prefix
+    beam search (incl. cache reordering across surviving beams)."""
+    from qst_tpu.models.seq2seq import beam_decode_cached
+
+    _, params = hf_pair
+    ids, mask = _inputs(rng)
+    b = np.asarray(beam_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                               TINY, 12, num_beams=4))
+    c = np.asarray(beam_decode_cached(params, jnp.asarray(ids),
+                                      jnp.asarray(mask), TINY, 12,
+                                      num_beams=4))
+    np.testing.assert_array_equal(c, b)
