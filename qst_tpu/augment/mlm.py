@@ -14,9 +14,8 @@ exercises end-to-end (hermetic tests).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

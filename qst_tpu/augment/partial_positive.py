@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 

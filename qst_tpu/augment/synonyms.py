@@ -19,7 +19,6 @@ from typing import Dict, List, Optional, Sequence, Set
 import numpy as np
 
 from qst_tpu.core.config import MAX_WORDS_TO_REPLACE, NO_REPLACE_WORDS
-from qst_tpu.models.tokenizer import basic_tokenize
 
 # Compact caption-domain synonym lexicon (bidirectional closure applied at
 # load). Enough coverage for COCO-caption-style text; WordNet supersedes it

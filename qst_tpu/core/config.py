@@ -15,7 +15,7 @@ import hashlib
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Type, TypeVar
+from typing import Any, Dict, Tuple, Type, TypeVar
 
 # ---------------------------------------------------------------------------
 # Defaults mirroring the reference's semantics (dataset/constants.py:5-45,

@@ -20,7 +20,6 @@ from typing import Any, Dict, Iterator, List, Optional
 
 from qst_tpu.core.config import (
     KEY_INSTANCES,
-    KEY_PART_POSITIVE,
     KEY_POSITIVE,
     KEY_REFERENCE,
 )

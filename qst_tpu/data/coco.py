@@ -27,7 +27,6 @@ import numpy as np
 
 from qst_tpu.core.config import (
     CHUNK_DIM,
-    KEY_INSTANCES,
     KEY_PART_POSITIVE,
     KEY_POSITIVE,
     KEY_REFERENCE,

@@ -22,10 +22,6 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from qst_tpu.core.config import (
-    KEY_NEGATIVE,
-    KEY_PART_POSITIVE,
-    KEY_POSITIVE,
-    KEY_REFERENCE,
     QUADRUPLET_KEYS,
 )
 

@@ -22,7 +22,6 @@ from qst_tpu.evals.eval_set import IREvaluationSet
 from qst_tpu.evals.ir_evaluator import InformationRetrievalEvaluator
 from qst_tpu.evals.loss_evaluator import QuadrupletLossEvaluator
 from qst_tpu.evals.quadruplet_evaluator import QuadrupletEvaluator
-from qst_tpu.evals.sequential import SequentialEvaluator
 from qst_tpu.models.sentence_encoder import SentenceEncoder
 
 

@@ -15,7 +15,7 @@ same scalar).
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Set
+from typing import Callable, Dict, Optional, Sequence, Set
 
 import numpy as np
 

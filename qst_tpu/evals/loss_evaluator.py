@@ -9,7 +9,7 @@ compute the running-average quadruplet loss, and append
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Iterable, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ evaluator last, evaluators.py:602).
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence
+from typing import Callable, List, Sequence
 
 
 class SequentialEvaluator:

@@ -20,7 +20,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

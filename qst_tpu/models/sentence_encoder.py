@@ -15,7 +15,6 @@ bucket so XLA never recompiles in the steady state.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax

@@ -10,15 +10,16 @@ numerical parity (tested against a random-weight ``transformers.MarianMTModel``
 — no network needed).
 
 Decoding is a ``lax.fori_loop`` over positions with static shapes (the
-XLA-friendly formulation); sequences here are short captions, so per-step
-full-prefix decoding is used instead of a KV cache.
+XLA-friendly formulation). Both full-prefix decoders and KV-cached variants
+(``greedy_decode_cached``, ``beam_decode_cached`` — O(1) decoder work per
+token) are provided and token-identical.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ analytic gradient without re-tracing the kernel.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

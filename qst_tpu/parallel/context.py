@@ -20,8 +20,6 @@ precision (verified on the 8-device CPU mesh).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,12 +22,12 @@ one function shards the whole TrainState.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qst_tpu.core.meshes import DATA_AXIS, MODEL_AXIS
+from qst_tpu.core.meshes import MODEL_AXIS
 
 # (path regex, spec by rank) — first match wins; pattern matches the
 # '/'-joined path of the leaf.

@@ -20,7 +20,7 @@ All score functions are "larger is better" (cos / dot / 1/(1+euclid)).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ writes, removes are O(1) swap-with-last, and search masks slots ≥ count.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 import math
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional
 
 logger = logging.getLogger("qst_tpu.callbacks")
 

@@ -11,9 +11,8 @@ what the reference never exposed: full optimizer-state + step resume
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from qst_tpu.train.train_step import TrainState
