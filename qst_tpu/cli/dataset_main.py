@@ -14,7 +14,6 @@ import json
 import logging
 import sys
 
-import numpy as np
 
 from qst_tpu.cli.common import (
     add_bool_flag,

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, List, Optional, Sequence
 
-import numpy as np
 
 from qst_tpu.core.config import EncoderConfig, IREvalConfig, LossConfig
 from qst_tpu.data.collate import QuadrupletCollator

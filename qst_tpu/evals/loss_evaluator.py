@@ -12,7 +12,6 @@ import os
 from typing import Any, Iterable, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from qst_tpu.core.config import EncoderConfig, LossConfig
 from qst_tpu.core.telemetry import JsonLogSink

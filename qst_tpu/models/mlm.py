@@ -9,7 +9,6 @@ scoring on the TPU encoder (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
