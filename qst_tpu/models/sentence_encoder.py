@@ -100,12 +100,26 @@ class SentenceEncoder:
     SEQ_BUCKETS = (16, 32, 64, 128, 256, 512)
 
     def __init__(self, cfg: EncoderConfig, params: Any, tokenizer: Any,
-                 out_sharding: Any = None):
+                 out_sharding: Any = None, mesh: Any = None):
+        """mesh: shard each encode batch over the mesh's data axis
+        (data-parallel corpus encoding — the index-build workload)."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self._fwd = embed_fn(cfg)
-        self._jitted = jax.jit(self._fwd, out_shardings=out_sharding)
+        in_shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from qst_tpu.core.meshes import DATA_AXIS
+
+            batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+            in_shardings = (None, batch_sh, batch_sh)
+            self._n_data = mesh.shape[DATA_AXIS]
+        else:
+            self._n_data = 1
+        self._jitted = jax.jit(self._fwd, in_shardings=in_shardings,
+                               out_shardings=out_sharding)
 
     def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         return self._jitted(self.params, input_ids, attention_mask)
@@ -133,6 +147,8 @@ class SentenceEncoder:
             ids, mask = ids[:, :S], mask[:, :S]
             n = len(chunk)
             B = _bucket(n, [8, 16, 32, 64, 128, 256, batch_size])
+            # data-parallel encode: batch must split evenly over the mesh
+            B = -(-B // self._n_data) * self._n_data
             if n < B:
                 pad = B - n
                 ids = np.concatenate([ids, np.zeros((pad, S), ids.dtype)])
