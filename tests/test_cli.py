@@ -133,3 +133,24 @@ def test_train_and_ir_eval_cli(tmp_path):
     assert "baseline" in results and "trained" in results
     assert "cos_sim" in results["baseline"]["metrics"]
     assert "map@5" in results["baseline"]["metrics"]["cos_sim"]
+
+
+def test_ir_eval_cli_sharded_mesh(tmp_path):
+    """IR evaluation through the CLI over the full 8-device mesh (corpus
+    sharded across all devices)."""
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=8)
+    rc = ir_eval_main.main([
+        "--dataset_root", root,
+        "--output_root", str(tmp_path / "ir"),
+        "--encoder_preset", "tiny",
+        "--n_queries", "4",
+        "--accuracy_at_k", "1",
+        "--precision_recall_at_k", "1",
+        "--mrr_at_k", "3",
+        "--ndcg_at_k", "3",
+        "--map_at_k", "3",
+        "--score_functions", "cos_sim",
+        "--mesh_data", "8",
+    ])
+    assert rc == 0
