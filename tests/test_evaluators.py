@@ -206,3 +206,31 @@ def test_factory_sequential(tmp_path):
     assert np.isfinite(score)
     kinds = [k for k, _ in evaluator.evaluators]
     assert kinds[-1] == "loss"  # loss last = main (reference ordering)
+
+
+def test_factory_main_option(tmp_path):
+    """main='quadruplet' reorders so the quadruplet evaluator's score is the
+    sequential main score."""
+    cfg = EncoderConfig.tiny()
+    loss_cfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=6)
+    ds = QuadrupletDataset(root, seed=0)
+    evaluator = get_sequential_evaluator(
+        cfg, loss_cfg, tok, ds[[0, 1, 2, 3]], val_batches=[ds[[4, 5, 6, 7]]],
+        main="quadruplet")
+    kinds = [k for k, _ in evaluator.evaluators]
+    assert kinds[-1] == "quadruplet"
+    params = init_params(cfg, jax.random.key(0))
+    score = evaluator(params, 0, 0)
+    assert 0.0 <= score <= 1.0  # accuracy-typed main score
+
+
+def test_factory_requires_some_evaluator():
+    cfg = EncoderConfig.tiny()
+    loss_cfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+    with pytest.raises(ValueError):
+        get_sequential_evaluator(cfg, loss_cfg,
+                                 HashTokenizer(vocab_size=cfg.vocab_size),
+                                 val_instances=[], val_batches=None)

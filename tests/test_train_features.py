@@ -84,3 +84,33 @@ def test_gradient_accumulation_matches_full_batch():
                         jax.random.key(1))
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(state_c.params)[0]), init_leaf)
+
+
+def test_accumulation_inside_multi_step_scan():
+    """optax.MultiSteps state must advance correctly inside the scanned
+    multi-step driver: with accumulation=2 and K=4 scanned steps, exactly
+    2 optimizer updates fire."""
+    from qst_tpu.train.train_step import make_multi_step
+
+    cfg = EncoderConfig.tiny(hidden_dropout=0.0, attention_dropout=0.0)
+    tcfg = TrainConfig(batch_size=4, learning_rate=1e-3,
+                       scheduler="constantlr",
+                       gradient_accumulation_steps=2)
+    state, tx = create_train_state(cfg, tcfg, jax.random.key(0), 50, LOSS)
+    init_leaf = np.array(jax.tree.leaves(state.params)[0])
+    K = 4
+    rng = np.random.default_rng(0)
+    S = cfg.max_seq_length
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (K, 4, 4, S)), jnp.int32)
+    mask = jnp.ones((K, 4, 4, S), jnp.int32)
+    keys = jax.random.split(jax.random.key(1), K)
+    multi = make_multi_step(cfg, LOSS, tx, K)
+    state, losses = multi(state, ids, mask, keys)
+    # params changed (updates fired) …
+    new_leaf = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.allclose(new_leaf, init_leaf)
+    # … and the MultiSteps mini-step counter ended back at 0 (4 % 2)
+    ms_state = state.opt_state
+    counters = [np.asarray(x) for x in jax.tree.leaves(ms_state)
+                if np.asarray(x).shape == ()]
+    assert any(int(c) == 0 for c in counters)
