@@ -1,0 +1,113 @@
+"""``python -m qst_tpu.cli.index_main`` — retrieval-index CLI.
+
+The serving-facing fourth entry point (beyond the reference's three): build
+a persistent embedding index from a chunked quadruplet dataset or a plain
+text file (one doc per line), then query it.
+
+  # build (encodes docs; saves embeddings + ids + docs next to the index)
+  python -m qst_tpu.cli.index_main build --texts docs.txt --index_dir idx \
+      --encoder_preset minilm-l6 --model_path trained/exp1
+
+  # query (reloads without re-encoding the corpus)
+  python -m qst_tpu.cli.index_main query --index_dir idx --k 5 \
+      --queries "a cat on a mat" "a dog in a park"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from qst_tpu.cli.common import (
+    dump_args,
+    encoder_from_args,
+    load_best_params,
+    tokenizer_from_args,
+)
+
+logger = logging.getLogger("qst_tpu.cli.index")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="encode docs and persist an index")
+    b.add_argument("--texts", help="plain text file, one document per line")
+    b.add_argument("--dataset_root",
+                   help="chunked quadruplet dataset (uses all captions)")
+    b.add_argument("--index_dir", required=True)
+    b.add_argument("--encoder_preset", default="minilm-l6")
+    b.add_argument("--vocab_path", default=None)
+    b.add_argument("--model_path",
+                   help="experiment dir with a trained best checkpoint")
+    b.add_argument("--batch_size", type=int, default=256)
+    b.add_argument("--seed", type=int, default=14)
+
+    q = sub.add_parser("query", help="search a persisted index")
+    q.add_argument("--index_dir", required=True)
+    q.add_argument("--queries", nargs="+", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--encoder_preset", default="minilm-l6")
+    q.add_argument("--vocab_path", default=None)
+    q.add_argument("--model_path", default=None)
+    q.add_argument("--seed", type=int, default=14)
+    return p
+
+
+def _encoder(args):
+    import jax
+
+    from qst_tpu.core.meshes import enable_compilation_cache
+    from qst_tpu.models.sentence_encoder import SentenceEncoder, init_params
+
+    enable_compilation_cache()
+    cfg = encoder_from_args(args.encoder_preset)
+    tok = tokenizer_from_args(args.vocab_path, cfg.vocab_size)
+    if args.model_path:
+        params = load_best_params(args.model_path)
+    else:
+        params = init_params(cfg, jax.random.key(args.seed))
+    return SentenceEncoder(cfg, params, tok)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    from qst_tpu.retrieval import Retriever
+
+    if args.command == "build":
+        if bool(args.texts) == bool(args.dataset_root):
+            raise SystemExit("give exactly one of --texts / --dataset_root")
+        if args.texts:
+            with open(args.texts) as f:
+                docs = [line.rstrip("\n") for line in f if line.strip()]
+        else:
+            from qst_tpu.data.chunks import ChunkStore
+
+            docs = ChunkStore(args.dataset_root).all_positive_captions()
+        if not docs:
+            raise SystemExit("no documents to index")
+        retriever = Retriever(_encoder(args))
+        retriever.build(docs)
+        retriever.save(args.index_dir)
+        dump_args(args, args.index_dir)
+        logger.info("indexed %d docs into %s", len(docs), args.index_dir)
+        return 0
+
+    retriever = Retriever(_encoder(args)).load(args.index_dir)
+    hits = retriever.search(list(args.queries), k=args.k, return_texts=True)
+    for query, row in zip(args.queries, hits):
+        print(json.dumps({
+            "query": query,
+            "hits": [{"id": h[0], "score": round(h[1], 4), "text": h[2]}
+                     for h in row],
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -154,3 +154,42 @@ def test_ir_eval_cli_sharded_mesh(tmp_path):
         "--mesh_data", "8",
     ])
     assert rc == 0
+
+
+def test_index_cli_build_and_query(tmp_path, capsys):
+    from qst_tpu.cli import index_main
+
+    texts = str(tmp_path / "docs.txt")
+    with open(texts, "w") as f:
+        f.write("a cat sits on the mat\n"
+                "the dog runs in the park\n"
+                "pasta with tomato sauce\n\n"
+                "a plane above the clouds\n")
+    idx_dir = str(tmp_path / "idx")
+    rc = index_main.main(["build", "--texts", texts, "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny"])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(idx_dir, "embeddings.npy"))
+
+    rc = index_main.main(["query", "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--queries", "a cat on a rug", "--k", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["query"] == "a cat on a rug"
+    assert len(payload["hits"]) == 2
+    assert all("text" in h for h in payload["hits"])
+
+
+def test_index_cli_validation(tmp_path):
+    from qst_tpu.cli import index_main
+
+    with pytest.raises(SystemExit):
+        index_main.main(["build", "--index_dir", str(tmp_path / "x")])
+    empty = str(tmp_path / "empty.txt")
+    open(empty, "w").close()
+    with pytest.raises(SystemExit):
+        index_main.main(["build", "--texts", empty,
+                         "--index_dir", str(tmp_path / "y"),
+                         "--encoder_preset", "tiny"])
