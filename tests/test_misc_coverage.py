@@ -77,3 +77,36 @@ def test_pos_tagger_deterministic_and_total():
     assert tags["Two"] == "NUM"
     assert tags["!"] == "."
     assert tags["across"] == "ADP"
+
+
+def test_dryrun_bootstrap_env(monkeypatch):
+    """_bootstrap_virtual_mesh must force a clean CPU mesh environment."""
+    import subprocess
+
+    import __graft_entry__ as ge
+
+    captured = {}
+
+    def fake_run(cmd, cwd=None, env=None, **kw):
+        captured.update(cmd=cmd, cwd=cwd, env=env)
+
+        class R:
+            returncode = 0
+            stdout = ""
+            stderr = ""
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setenv("PYTHONPATH", "/some/site")
+    ge._bootstrap_virtual_mesh(8)
+    env = captured["env"]
+    assert "PALLAS_AXON_POOL_IPS" not in env
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert env["QST_DRYRUN_BOOTSTRAPPED"] == "1"
+    # PYTHONPATH is appended to, never clobbered.
+    assert "/some/site" in env["PYTHONPATH"]
+    assert captured["cwd"] in env["PYTHONPATH"]
+    assert "dryrun_multichip(8)" in captured["cmd"][-1]
