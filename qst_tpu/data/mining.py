@@ -146,9 +146,16 @@ class NegativeMiner:
     """End-to-end batched miner: anchors (text) → negative captions.
 
     Combines the embedding table, the jitted selection kernel, retry
-    semantics (reference quadruplet_dataset.py:213-239: if a row found no
-    valid candidate, retry with a fresh random key up to ``max_attempts``),
-    and the replicate-if-short host fallback.
+    semantics, and the replicate-if-short host fallback.
+
+    Retry semantics match the reference (quadruplet_dataset.py:199-239):
+    each attempt draws a FRESH random candidate sub-pool (the reference
+    samples a new random chunk and ≤5·n candidate captions per attempt), so
+    a row whose attempt-1 pool had zero valid candidates can succeed on
+    attempt 2 against different candidates — ``max_attempts`` observably
+    changes outcomes in both random and hard-contrastive mode. Mining over
+    the full table in one shot would make retries a no-op: validity
+    (cos ≤ threshold) is deterministic given a fixed pool.
     """
 
     def __init__(self, table: EmbeddingTable,
@@ -156,12 +163,18 @@ class NegativeMiner:
                  mode: int = RANDOM,
                  threshold: float = NEGATIVE_SIM_THRESHOLD,
                  max_attempts: int = 3,
+                 pool_factor: int = 5,
                  seed: int = 14):
+        if pool_factor < 1:
+            raise ValueError(f"pool_factor must be >= 1, got {pool_factor}")
         self.table = table
         self.encode_fn = encode_fn
         self.mode = mode
         self.threshold = threshold
         self.max_attempts = max_attempts
+        # Reference draws <= 5*n candidates per attempt
+        # (quadruplet_dataset.py:213-225); pool size = pool_factor * n_neg.
+        self.pool_factor = pool_factor
         self._key = jax.random.key(seed)
         self._rng = np.random.default_rng(seed)
         self._calls = 0
@@ -173,21 +186,28 @@ class NegativeMiner:
             anchor_emb = self.encode_fn(list(anchors))
         a = jnp.asarray(anchor_emb)
         hard = self.mode in (HARD_CONTRASTIVE_TRAIN, HARD_CONTRASTIVE_TEST)
+        n_table = len(self.table.captions)
+        pool_size = min(n_table, self.pool_factor * n_neg)
         idx = ok = None
         for _ in range(max(1, self.max_attempts)):
             self._calls += 1
             key = jax.random.fold_in(self._key, self._calls)
+            # Fresh candidate sub-pool per attempt (one shared pool for the
+            # batch — the batched analogue of the reference's fresh random
+            # chunk per item per attempt).
+            sub = self._rng.choice(n_table, size=pool_size, replace=False)
+            sub_emb = jnp.take(self.table.embeddings, jnp.asarray(sub),
+                               axis=0)
             idx_j, ok_j = mine_negatives(
-                a, self.table.embeddings, key, n_neg, hard,
-                threshold=self.threshold)
-            idx_np = np.array(idx_j)  # writable copies (np.asarray of a
-            ok_np = np.array(ok_j)    # jax array is a read-only view)
+                a, sub_emb, key, n_neg, hard, threshold=self.threshold)
+            idx_np = sub[np.array(idx_j)]  # map sub-pool → table indices
+            ok_np = np.array(ok_j)         # (writable host copies)
             if idx is None:
                 idx, ok = idx_np, ok_np
             else:  # keep previous rows that were already fully valid
                 need = ~ok.all(axis=1)
                 idx[need], ok[need] = idx_np[need], ok_np[need]
-            if ok.all() or hard:  # hard mode is deterministic; retries no-op
+            if ok.all():
                 break
         assert idx is not None and ok is not None
         idx = replicate_short(idx, ok, self._rng)

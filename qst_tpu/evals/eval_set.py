@@ -139,12 +139,20 @@ def create_ir_evaluation_set(
                 for j in range(len(inst.get(KEY_PART_POSITIVE, [])))}
 
     if cross_encoder_predict is not None:
+        # Score ALL (query, doc) pairs in one call so the device scorer sees
+        # a single flat Q*N pair list and batches it into fixed shapes —
+        # not one host->device round trip per query (the reference's
+        # per-query loop, evaluators.py:501-509, is the anti-pattern the
+        # batched design exists to kill).
         corpus_ids = list(corpus.keys())
         corpus_texts = [corpus[c] for c in corpus_ids]
-        for qid, qtext in queries.items():
-            pairs = [(qtext, doc) for doc in corpus_texts]
-            scores = np.asarray(cross_encoder_predict(pairs))
-            hits = np.nonzero(scores >= cross_encoder_threshold)[0]
+        query_ids = list(queries.keys())
+        pairs = [(queries[qid], doc)
+                 for qid in query_ids for doc in corpus_texts]
+        scores = np.asarray(cross_encoder_predict(pairs)).reshape(
+            len(query_ids), len(corpus_ids))
+        for qi, qid in enumerate(query_ids):
+            hits = np.nonzero(scores[qi] >= cross_encoder_threshold)[0]
             relevant[qid] |= {corpus_ids[int(h)] for h in hits}
 
     out = IREvaluationSet(queries=queries, corpus=corpus, relevant=relevant,

@@ -213,3 +213,67 @@ def test_dataset_from_config(dataset_root):
     # config without encode_fn → no miner (random fallback)
     ds2 = QuadrupletDataset.from_config(cfg)
     assert ds2.miner is None
+
+
+def test_miner_retries_resample_fresh_pools():
+    """max_attempts observably changes outcomes (reference
+    quadruplet_dataset.py:199-239: each attempt draws a fresh candidate
+    pool, so a failed attempt can succeed against new candidates)."""
+    anchors = ["a cat sits on the mat"]
+    # One valid negative in a table of near-duplicates of the anchor: a
+    # 1-candidate sub-pool (pool_factor=1, n_neg=1) usually misses it on
+    # the first draw, so retries are what find it.
+    dupes = [f"a cat sits on the mat {i}" for i in range(9)]
+    table_texts = dupes + ["a dog runs in the park"]
+    a = hash_embed(anchors)
+    t = hash_embed(table_texts)
+    cos = (a / np.linalg.norm(a)) @ (
+        t / np.linalg.norm(t, axis=1, keepdims=True)).T
+    valid = set(np.where(cos[0] <= 0.2)[0].tolist())
+    assert valid, "fixture broken: need at least one valid negative"
+
+    def build(max_attempts, seed):
+        table = EmbeddingTable(table_texts, lambda xs: hash_embed(list(xs)))
+        return NegativeMiner(table, lambda xs: hash_embed(list(xs)),
+                             mode=RANDOM, max_attempts=max_attempts,
+                             pool_factor=1, seed=seed)
+
+    # With enough attempts, some seed must recover a valid negative after a
+    # failed first attempt — and the 1-attempt miner with the same seed must
+    # NOT (identical first draw, no retry).
+    observed_difference = False
+    for seed in range(20):
+        one = build(1, seed).mine(anchors, n_neg=1)
+        many = build(8, seed).mine(anchors, n_neg=1)
+        one_valid = one[0][0] == "a dog runs in the park"
+        many_valid = many[0][0] == "a dog runs in the park"
+        assert many_valid or not one_valid  # retries never make it worse
+        if many_valid and not one_valid:
+            observed_difference = True
+    assert observed_difference, "max_attempts never changed the outcome"
+
+
+def test_miner_hard_mode_retries():
+    """Hard-contrastive mode also retries on empty pools (the old code
+    short-circuited: break on hard)."""
+    anchors = ["a cat sits on the mat"]
+    dupes = [f"a cat sits on the mat {i}" for i in range(9)]
+    table_texts = dupes + ["a dog runs in the park"]
+    found = False
+    for seed in range(20):
+        table = EmbeddingTable(table_texts, lambda xs: hash_embed(list(xs)))
+        miner = NegativeMiner(table, lambda xs: hash_embed(list(xs)),
+                              mode=HARD_CONTRASTIVE_TRAIN, max_attempts=8,
+                              pool_factor=1, seed=seed)
+        one_table = EmbeddingTable(table_texts,
+                                   lambda xs: hash_embed(list(xs)))
+        one = NegativeMiner(one_table, lambda xs: hash_embed(list(xs)),
+                            mode=HARD_CONTRASTIVE_TRAIN, max_attempts=1,
+                            pool_factor=1, seed=seed)
+        many_valid = miner.mine(anchors, n_neg=1)[0][0] == \
+            "a dog runs in the park"
+        one_valid = one.mine(anchors, n_neg=1)[0][0] == \
+            "a dog runs in the park"
+        if many_valid and not one_valid:
+            found = True
+    assert found

@@ -234,3 +234,35 @@ def test_factory_requires_some_evaluator():
         get_sequential_evaluator(cfg, loss_cfg,
                                  HashTokenizer(vocab_size=cfg.vocab_size),
                                  val_instances=[], val_batches=None)
+
+
+def test_cross_encoder_labeling_is_batched():
+    """All Q*N pairs must reach the scorer in ONE call (VERDICT round-1
+    weak #8): 100 queries x 1k docs -> one invocation of 100k pairs, not
+    100 invocations of 1k."""
+    from qst_tpu.evals.eval_set import create_ir_evaluation_set
+
+    instances = [
+        {"id": i, "reference": f"ref {i}", "positive": [f"pos {i}"],
+         "part_positive": []}
+        for i in range(1100)
+    ]
+    calls = []
+
+    def fake_ce(pairs):
+        calls.append(len(pairs))
+        # relevant iff the pair shares the instance number
+        return np.asarray(
+            [1.0 if q.split()[-1] == d.split()[-1] else 0.0
+             for q, d in pairs], np.float32)
+
+    out = create_ir_evaluation_set(
+        instances, n_queries=100, use_pos_examples=False,
+        use_part_pos_examples=False, cross_encoder_predict=fake_ce, seed=3)
+    assert len(calls) == 1
+    assert calls[0] == 100 * len(out.corpus)
+    # and the labels landed on the right queries
+    for qid, docs in out.relevant.items():
+        num = qid[1:]
+        assert docs == {f"pos{num}_0"} | (
+            {f"ref{num}"} if f"ref{num}" in out.corpus else set())
