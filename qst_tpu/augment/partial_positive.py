@@ -180,6 +180,12 @@ def get_part_pos_examples(
 ) -> List[str]:
     """Strategy dispatcher (reference :216-238)."""
     if algorithm_type == LLM:
+        if llm_fn is None:
+            # env-gated OpenAI-compatible client ($QST_LLM_BASE_URL);
+            # closed gate → the canned mock (reference :237-238)
+            from qst_tpu.augment.llm_client import get_llm_fn
+
+            llm_fn = get_llm_fn()
         fn = llm_fn or mock_llm_response
         return parse_llm_response(fn(build_llm_prompt(caption,
                                                       n_part_pos_examples)))

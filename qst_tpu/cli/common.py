@@ -74,3 +74,44 @@ def add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
                   help: str = "") -> None:
     parser.add_argument(f"--{name}", action=argparse.BooleanOptionalAction,
                         default=default, help=help)
+
+
+HF_CHECKPOINT_DIR_ENV = "QST_HF_CHECKPOINT_DIR"
+
+
+def add_hf_checkpoint_dir_flag(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--hf_checkpoint_dir",
+        default=os.environ.get(HF_CHECKPOINT_DIR_ENV),
+        help="local sentence-transformers/HF checkpoint directory (e.g. a "
+             "clone of all-MiniLM-L6-v2, the reference default, "
+             "training/main.py:242); defaults to $" + HF_CHECKPOINT_DIR_ENV +
+             ". Provides architecture config, weights and vocab in one shot "
+             "— see PARITY_RUNBOOK.md.")
+
+
+def resolve_hf_checkpoint_dir(args: argparse.Namespace,
+                              max_seq_length: Optional[int] = None,
+                              dtype: Optional[str] = None):
+    """If ``--hf_checkpoint_dir`` / $QST_HF_CHECKPOINT_DIR is set, load it →
+    (EncoderConfig, params, tokenizer); else None. Explicit ``--vocab_path``
+    and ``--max_seq_length`` flags still win over the checkpoint's own."""
+    ckpt_dir = getattr(args, "hf_checkpoint_dir", None)
+    if not ckpt_dir:
+        return None
+    import dataclasses
+
+    from qst_tpu.models.hf_import import load_hf_checkpoint_dir
+
+    cfg, params, vocab_path = load_hf_checkpoint_dir(ckpt_dir)
+    overrides: Dict[str, Any] = {}
+    if max_seq_length is not None:
+        overrides["max_seq_length"] = max_seq_length
+    if dtype is not None:
+        overrides["dtype"] = dtype
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    explicit_vocab = getattr(args, "vocab_path", None)
+    tokenizer = tokenizer_from_args(explicit_vocab or vocab_path,
+                                    cfg.vocab_size)
+    return cfg, params, tokenizer

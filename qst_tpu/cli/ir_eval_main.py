@@ -21,9 +21,11 @@ import numpy as np
 
 from qst_tpu.cli.common import (
     add_bool_flag,
+    add_hf_checkpoint_dir_flag,
     dump_args,
     encoder_from_args,
     load_best_params,
+    resolve_hf_checkpoint_dir,
     tokenizer_from_args,
 )
 from qst_tpu.core.config import (
@@ -46,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab_path", default=None)
     p.add_argument("--baseline_hf_checkpoint", default=None,
                    help="local HF state dict for the baseline encoder")
+    add_hf_checkpoint_dir_flag(p)
     p.add_argument("--n_queries", type=int, default=N_IR_SAMPLES)
     p.add_argument("--cross_encoder_threshold", type=float,
                    default=CROSS_ENCODER_RELEVANCE_THRESHOLD)
@@ -111,8 +114,16 @@ def main(argv=None) -> int:
     os.makedirs(out_dir, exist_ok=True)
     dump_args(args, out_dir)
 
-    encoder_cfg = encoder_from_args(args.encoder_preset)
-    tokenizer = tokenizer_from_args(args.vocab_path, encoder_cfg.vocab_size)
+    hf_ckpt = resolve_hf_checkpoint_dir(args)
+    if hf_ckpt is not None:
+        encoder_cfg, hf_baseline_params, tokenizer = hf_ckpt
+        logger.info("baseline from HF checkpoint dir %s (arch=%s)",
+                    args.hf_checkpoint_dir, encoder_cfg.arch)
+    else:
+        hf_baseline_params = None
+        encoder_cfg = encoder_from_args(args.encoder_preset)
+        tokenizer = tokenizer_from_args(args.vocab_path,
+                                        encoder_cfg.vocab_size)
     mesh = make_mesh(args.mesh_data, args.mesh_model)
 
     ds = QuadrupletDataset(args.dataset_root, seed=args.seed)
@@ -161,7 +172,10 @@ def main(argv=None) -> int:
         return lambda texts: enc.encode(list(texts))
 
     # baseline model (random-init or imported HF checkpoint)
-    baseline_params = init_params(encoder_cfg, jax.random.key(args.seed))
+    if hf_baseline_params is not None:
+        baseline_params = hf_baseline_params
+    else:
+        baseline_params = init_params(encoder_cfg, jax.random.key(args.seed))
     if args.baseline_hf_checkpoint:
         from qst_tpu.models.hf_import import (
             import_sentence_encoder_params,

@@ -20,8 +20,10 @@ import numpy as np
 
 from qst_tpu.cli.common import (
     add_bool_flag,
+    add_hf_checkpoint_dir_flag,
     dump_args,
     encoder_from_args,
+    resolve_hf_checkpoint_dir,
     tokenizer_from_args,
 )
 from qst_tpu.core.config import (
@@ -52,6 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_seq_length", type=int, default=None)
     p.add_argument("--hf_checkpoint", default=None,
                    help="local pytorch_model.bin/safetensors to import")
+    add_hf_checkpoint_dir_flag(p)
     # loss (reference defaults training/main.py:211-218)
     p.add_argument("--loss_kind", default="gamma",
                    choices=["gamma", "d_regularized"])
@@ -115,10 +118,20 @@ def main(argv=None) -> int:
     from qst_tpu.train.trainer import Trainer
 
     seed_everything(args.seed)
-    encoder_cfg = encoder_from_args(
-        args.encoder_preset, max_seq_length=args.max_seq_length,
+    hf_ckpt = resolve_hf_checkpoint_dir(
+        args, max_seq_length=args.max_seq_length,
         dtype=None if args.use_amp else "float32")
-    tokenizer = tokenizer_from_args(args.vocab_path, encoder_cfg.vocab_size)
+    if hf_ckpt is not None:
+        encoder_cfg, hf_params, tokenizer = hf_ckpt
+        logger.info("loaded HF checkpoint dir %s (arch=%s)",
+                    args.hf_checkpoint_dir, encoder_cfg.arch)
+    else:
+        hf_params = None
+        encoder_cfg = encoder_from_args(
+            args.encoder_preset, max_seq_length=args.max_seq_length,
+            dtype=None if args.use_amp else "float32")
+        tokenizer = tokenizer_from_args(args.vocab_path,
+                                        encoder_cfg.vocab_size)
 
     loss_cfg = LossConfig(
         kind=args.loss_kind, gamma=args.gamma,
@@ -144,7 +157,10 @@ def main(argv=None) -> int:
     mesh = make_mesh(args.mesh_data, args.mesh_model)
 
     # initial params (random or imported HF checkpoint)
-    init = init_params(encoder_cfg, jax.random.key(args.seed))
+    if hf_params is not None:
+        init = hf_params
+    else:
+        init = init_params(encoder_cfg, jax.random.key(args.seed))
     if args.hf_checkpoint:
         from qst_tpu.models.hf_import import (
             import_sentence_encoder_params,

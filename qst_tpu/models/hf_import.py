@@ -108,6 +108,96 @@ def import_sentence_encoder_params(
     return {"encoder": import_bert_params(state_dict, cfg)}
 
 
+def load_hf_checkpoint_dir(ckpt_dir: str):
+    """Load a local sentence-transformers / HF checkpoint DIRECTORY
+    (e.g. a clone of ``sentence-transformers/all-MiniLM-L6-v2``, the
+    reference's default at training/main.py:242) into
+    (EncoderConfig, params pytree, vocab path or None).
+
+    Resolution (no network):
+    - weights: ``model.safetensors`` or ``pytorch_model.bin`` at the root or
+      under a ``0_*``-style module subdirectory;
+    - architecture: ``config.json`` (model_type bert/mpnet, hidden sizes);
+    - ``sentence_bert_config.json`` → max_seq_length when present;
+    - ``1_Pooling/config.json`` → pooling mode when present;
+    - ``vocab.txt`` → WordPiece vocab for the tokenizer.
+
+    This is the weights-present path of the parity harness (PARITY_RUNBOOK.md):
+    set ``QST_HF_CHECKPOINT_DIR`` or pass ``--hf_checkpoint_dir`` and the
+    train/ir-eval CLIs call through here.
+    """
+    import glob
+    import json
+    import os
+
+    from qst_tpu.core.config import EncoderConfig
+
+    if not os.path.isdir(ckpt_dir):
+        raise FileNotFoundError(f"checkpoint dir not found: {ckpt_dir}")
+
+    def _find(name: str):
+        cands = [os.path.join(ckpt_dir, name)]
+        cands += sorted(glob.glob(os.path.join(ckpt_dir, "*", name)))
+        for c in cands:
+            if os.path.isfile(c):
+                return c
+        return None
+
+    weights = _find("model.safetensors") or _find("pytorch_model.bin")
+    if weights is None:
+        raise FileNotFoundError(
+            f"no model.safetensors / pytorch_model.bin under {ckpt_dir}")
+    # the trunk's config.json lives next to its weights (never pick up
+    # 1_Pooling/config.json here)
+    cfg_path = os.path.join(os.path.dirname(weights), "config.json")
+    if not os.path.isfile(cfg_path):
+        raise FileNotFoundError(f"no config.json next to {weights}")
+    with open(cfg_path) as f:
+        hf_cfg = json.load(f)
+
+    model_type = hf_cfg.get("model_type", "bert")
+    if model_type not in ("bert", "mpnet"):
+        raise ValueError(f"unsupported model_type {model_type!r} "
+                         "(bert and mpnet trunks are supported)")
+    kw = dict(
+        name=os.path.basename(os.path.normpath(ckpt_dir)),
+        arch=model_type,
+        vocab_size=int(hf_cfg["vocab_size"]),
+        hidden_size=int(hf_cfg["hidden_size"]),
+        num_layers=int(hf_cfg["num_hidden_layers"]),
+        num_heads=int(hf_cfg["num_attention_heads"]),
+        intermediate_size=int(hf_cfg["intermediate_size"]),
+        max_position_embeddings=int(hf_cfg["max_position_embeddings"]),
+        layer_norm_eps=float(hf_cfg.get("layer_norm_eps", 1e-12)),
+        pad_token_id=int(hf_cfg.get("pad_token_id", 0)),
+    )
+    if model_type == "bert":
+        kw["type_vocab_size"] = int(hf_cfg.get("type_vocab_size", 2))
+
+    sbert_cfg = _find("sentence_bert_config.json")
+    if sbert_cfg:
+        with open(sbert_cfg) as f:
+            kw["max_seq_length"] = int(
+                json.load(f).get("max_seq_length", 128))
+    pool_cfg = _find(os.path.join("1_Pooling", "config.json")) or _find(
+        "pooling_config.json")
+    if pool_cfg:
+        with open(pool_cfg) as f:
+            pooling = json.load(f)
+        if pooling.get("pooling_mode_cls_token"):
+            kw["pooling"] = "cls"
+        elif pooling.get("pooling_mode_max_tokens"):
+            kw["pooling"] = "max"
+        else:
+            kw["pooling"] = "mean"
+
+    cfg = EncoderConfig(**kw)
+    params = import_sentence_encoder_params(
+        load_torch_state_dict(weights), cfg)
+    vocab_path = _find("vocab.txt")
+    return cfg, params, vocab_path
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a ``pytorch_model.bin`` / ``.safetensors`` file from disk
     (no network). torch import is gated here so the rest of the framework
