@@ -85,8 +85,15 @@ def main(argv=None) -> int:
 
     import jax
 
-    from qst_tpu.core.meshes import enable_compilation_cache
+    from qst_tpu.core.meshes import (
+        enable_compilation_cache,
+        initialize_distributed,
+    )
 
+    if initialize_distributed():
+        logger.info("multi-process runtime: process %d/%d, %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    len(jax.devices()))
     enable_compilation_cache()
 
     from qst_tpu.core.meshes import make_mesh

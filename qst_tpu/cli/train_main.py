@@ -103,8 +103,17 @@ def main(argv=None) -> int:
 
     import jax
 
-    from qst_tpu.core.meshes import enable_compilation_cache
+    from qst_tpu.core.meshes import (
+        enable_compilation_cache,
+        initialize_distributed,
+    )
 
+    # multi-process hook first (gated on $QST_COORDINATOR_ADDRESS; no-op in
+    # the default single-process mode), then backend-dependent config
+    if initialize_distributed():
+        logger.info("multi-process runtime: process %d/%d, %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    len(jax.devices()))
     enable_compilation_cache()
 
     from qst_tpu.core.meshes import make_mesh

@@ -43,6 +43,71 @@ def enable_compilation_cache(path: str = DEFAULT_COMPILATION_CACHE) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+COORDINATOR_ENV = "QST_COORDINATOR_ADDRESS"
+NUM_PROCESSES_ENV = "QST_NUM_PROCESSES"
+PROCESS_ID_ENV = "QST_PROCESS_ID"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-process (multi-host) runtime hook (SURVEY.md §5.8).
+
+    Calls ``jax.distributed.initialize`` so every process sees the global
+    device set and collectives ride ICI within a slice / DCN across hosts.
+    Must run before the first JAX backend use. Gated: activates when the
+    coordinator is given explicitly or via ``$QST_COORDINATOR_ADDRESS`` (+
+    ``$QST_NUM_PROCESSES`` / ``$QST_PROCESS_ID``); on managed clusters
+    (SLURM / TPU pods) where JAX can auto-detect, set the coordinator env to
+    ``auto`` to initialize with no explicit arguments. Returns True when
+    initialization happened, False when the gate is closed (single-process
+    mode — the default everywhere in this repo).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        COORDINATOR_ENV)
+    if not coordinator_address:
+        return False
+    if coordinator_address == "auto":
+        jax.distributed.initialize()
+        return True
+    if num_processes is None:
+        num_processes = int(os.environ[NUM_PROCESSES_ENV])
+    if process_id is None:
+        process_id = int(os.environ[PROCESS_ID_ENV])
+    jax.distributed.initialize(coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def process_shard_bounds(n: int, process_index: Optional[int] = None,
+                         process_count: Optional[int] = None
+                         ) -> tuple[int, int]:
+    """Per-process data-loading slice [start, stop) of a global dataset of
+    ``n`` items: each process loads only its own contiguous shard (SURVEY.md
+    §5.8 'host-side distributed data loading per process'). Uneven remainders
+    go to the leading processes."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if not 0 <= pi < pc:
+        raise ValueError(f"process_index {pi} outside [0, {pc})")
+    base, rem = divmod(n, pc)
+    start = pi * base + min(pi, rem)
+    return start, start + base + (1 if pi < rem else 0)
+
+
+def global_array_from_local(local, mesh: Mesh, spec: P) -> jax.Array:
+    """Assemble a GLOBAL jax.Array from this process's local shard (the
+    multi-process analogue of ``jax.device_put(x, sharding)``): each process
+    passes only the rows it loaded; JAX stitches the global array without
+    any host gathering."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local))
+
+
 def make_mesh(
     data: int = -1,
     model: int = 1,
