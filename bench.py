@@ -44,7 +44,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from qst_tpu.ops.distances import l2_normalize
-    from qst_tpu.retrieval.index import exact_topk
+    from qst_tpu.ops.topk_pallas import pallas_topk_v2
 
     rng = np.random.default_rng(0)
     # build the index: unit-norm corpus resident in HBM, bf16 (MXU-native)
@@ -60,8 +60,10 @@ def main() -> None:
     ]
 
     def search(q):
-        # corpus pre-normalized → cosine == dot
-        return exact_topk(q, corpus, K, "dot_score", tile=131072)
+        # corpus pre-normalized → cosine == dot; the fused Pallas pipeline
+        # (bucket-maxima kernel + dynamic-DMA rescore) is the production
+        # single-device backend (ExactIndex backend="auto" picks it on TPU)
+        return pallas_topk_v2(q, corpus, K)
 
     # warmup / compile
     s, i = search(query_batches[0])

@@ -1,0 +1,260 @@
+"""Quadruplet-vs-triplet ablation — the reference's core scientific claim.
+
+The reference's thesis (its γ-quadruplet loss, models/losses/losses.py:9-69)
+is that adding a *partially-positive* term models graded relevance better
+than a plain triplet loss. This experiment tests exactly that, end to end,
+through the framework's own pipeline:
+
+1. synthesize a COCO-style captions annotation file (topical caption groups
+   per image, graded structure);
+2. build the quadruplet dataset through the REAL construction path
+   (``create_coco_dataset``: positive mining at cos ≥ 0.6 with retries +
+   adaptive-crop partially-positive synthesis) using the deterministic
+   hash embedder (the mock-embedder pattern, SURVEY.md §4);
+3. train TWO models from the SAME random init on the SAME data stream:
+   (a) γ-quadruplet loss (γ=0.6, reference defaults) and (b) plain triplet
+   loss (the ``kind="triplet"`` ablation baseline — ignores part-positives);
+4. evaluate both (plus the untrained baseline) on held-out instances:
+   IR metrics under three relevance definitions (pos+part / pos-only /
+   part-only) and the quadruplet ORDERING accuracies (pos-vs-part,
+   pos-vs-neg, part-vs-neg + the reference's global formula,
+   evaluators.py:367) — the graded-relevance measurement.
+
+Prints progress lines and one final JSON summary; a markdown table for
+RESULTS.md is printed at the end.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python \
+    benchmarks/ablation_quadruplet_vs_triplet.py [--steps 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOPICS = ("cat dog horse bird fish car truck train plane boat house tower "
+          "bridge river mountain forest beach desert island valley pizza "
+          "pasta salad bread cheese doctor teacher farmer artist pilot "
+          "guitar piano violin drum flute tiger lion bear wolf deer").split()
+VERBS = ("runs jumps sleeps flies swims drives climbs falls sings dances "
+         "reads writes builds paints cooks waits stands rests turns").split()
+PLACES = ("park street field sky ocean kitchen garden station harbor "
+          "meadow market library studio farm court plaza valley dock").split()
+FILLER = ("quietly slowly quickly happily often rarely gently boldly "
+          "calmly eagerly brightly early late softly loudly").split()
+
+
+def hash_embed(texts, dim=128):
+    """Deterministic topic-correlated unit vectors (same-topic cos ≈ 0.95,
+    cross-topic ≈ 0) — the dataset-construction embedder stand-in."""
+    out = np.zeros((len(texts), dim), np.float32)
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        topic = next((w for w in words if w in TOPICS), "")
+        bs = int.from_bytes(hashlib.md5(topic.encode()).digest()[:4], "little")
+        ts = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "little")
+        base = np.random.default_rng(bs).standard_normal(dim)
+        noise = np.random.default_rng(ts).standard_normal(dim)
+        v = base + 0.15 * noise if topic else noise
+        out[i] = v / np.linalg.norm(v)
+    return out
+
+
+def make_coco_annotations(path: str, n_images: int, rng) -> None:
+    """COCO captions JSON: 5 topical captions per image."""
+    images, annotations = [], []
+    aid = 0
+    for img_id in range(n_images):
+        topic = TOPICS[img_id % len(TOPICS)]
+        verb = VERBS[(img_id * 3) % len(VERBS)]
+        place = PLACES[(img_id * 7) % len(PLACES)]
+        variant = img_id // len(TOPICS)
+        f = lambda: FILLER[int(rng.integers(0, len(FILLER)))]
+        captions = [
+            f"a {topic} {verb} {f()} in the {place} area {variant}",
+            f"the {topic} {verb} {f()} at the {place} spot {variant}",
+            f"one {topic} {f()} {verb} near the {place} side {variant}",
+            f"a {topic} that {verb} {f()} by the {place} zone {variant}",
+            f"some {topic} {verb} {f()} around the {place} corner {variant}",
+        ]
+        images.append({"id": img_id})
+        for c in captions:
+            annotations.append({"id": aid, "image_id": img_id, "caption": c})
+            aid += 1
+    with open(path, "w") as fobj:
+        json.dump({"images": images, "annotations": annotations}, fobj)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500,
+                    help="train steps per arm (>= 500 per the round-2 bar)")
+    ap.add_argument("--n_images", type=int, default=4000)
+    ap.add_argument("--n_eval", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    args = ap.parse_args()
+
+    import jax
+
+    from qst_tpu.core.config import (
+        EncoderConfig, IREvalConfig, LossConfig, TrainConfig)
+    from qst_tpu.core.meshes import enable_compilation_cache
+    from qst_tpu.augment.partial_positive import ADAPTIVE_CROP
+    from qst_tpu.data import (
+        EmbeddingTable, NegativeMiner, QuadrupletCollator, QuadrupletDataset,
+        HARD_CONTRASTIVE_TRAIN)
+    from qst_tpu.data.coco import CocoCaptionsSource, create_coco_dataset
+    from qst_tpu.evals import (
+        InformationRetrievalEvaluator, create_ir_evaluation_set)
+    from qst_tpu.evals.quadruplet_evaluator import QuadrupletEvaluator
+    from qst_tpu.models import HashTokenizer, SentenceEncoder, init_params
+    from qst_tpu.train import Trainer
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(14)
+    work = tempfile.mkdtemp(prefix="ablation_")
+
+    # --- 1+2: dataset through the real construction pipeline -------------
+    ann = os.path.join(work, "captions.json")
+    make_coco_annotations(ann, args.n_images, rng)
+    src = CocoCaptionsSource(ann, dataset_name="synthetic-coco")
+    t0 = time.perf_counter()
+    last_ok = create_coco_dataset(
+        os.path.join(work, "chunks"), src, encode_fn=hash_embed,
+        n_pos_examples=4, n_part_pos_examples=4, augment=False,
+        part_pos_algorithm=ADAPTIVE_CROP, seed=14)
+    assert last_ok >= 0, "dataset construction failed (see log above)"
+    root = os.path.join(work, "chunks", src.dataset_name)
+    ds_probe = QuadrupletDataset(root, seed=14)
+    instances = list(ds_probe.store.iter_instances())
+    print(f"dataset: {len(instances)} mined instances in "
+          f"{time.perf_counter() - t0:.0f}s "
+          f"(pos/inst={np.mean([len(i['positive']) for i in instances]):.1f},"
+          f" part/inst="
+          f"{np.mean([len(i['part_positive']) for i in instances]):.1f})",
+          flush=True)
+
+    # held-out eval slice vs training slice
+    eval_instances = instances[:args.n_eval]
+
+    cfg = EncoderConfig.minilm_l6(max_seq_length=32)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    init = init_params(cfg, jax.random.key(14))
+
+    # --- 4: evaluators ----------------------------------------------------
+    ir_cfg = IREvalConfig(
+        accuracy_at_k=(1, 5, 10), precision_recall_at_k=(1, 5, 10),
+        mrr_at_k=(10,), ndcg_at_k=(10,), map_at_k=(100,),
+        score_functions=("cos_sim",))
+    sets = {
+        "pos+part": create_ir_evaluation_set(
+            eval_instances, n_queries=200, seed=14),
+        "pos_only": create_ir_evaluation_set(
+            eval_instances, n_queries=200, seed=14,
+            use_part_pos_examples=False),
+        "part_only": create_ir_evaluation_set(
+            eval_instances, n_queries=200, seed=14,
+            use_pos_examples=False),
+    }
+    ir_evals = {
+        name: InformationRetrievalEvaluator(
+            s.queries, s.corpus, s.relevant, cfg=ir_cfg)
+        for name, s in sets.items()
+    }
+    # ordering accuracies need a negative per instance: a caption from a
+    # different-topic instance (deterministic pairing)
+    quad_eval = QuadrupletEvaluator(
+        anchors=[i["reference"] for i in eval_instances],
+        positives=[i["positive"][0] for i in eval_instances],
+        part_positives=[i["part_positive"][0] for i in eval_instances],
+        negatives=[eval_instances[(j + len(TOPICS)) % len(eval_instances)]
+                   ["positive"][1] for j in range(len(eval_instances))],
+    )
+
+    def evaluate(params, label):
+        enc = SentenceEncoder(cfg, params, tok)
+        encode = lambda texts: enc.encode(list(texts))
+        out = {}
+        for name, ev in ir_evals.items():
+            ev(encode)
+            m = ev.last_results["cos_sim"]
+            out[name] = {k: round(float(m[k]), 4)
+                         for k in ("recall@10", "ndcg@10", "map@100")}
+        quad_eval(encode)
+        out["ordering"] = {k: round(float(v), 4)
+                           for k, v in quad_eval.last_scores.items()}
+        print(f"[{label}] {json.dumps(out)}", flush=True)
+        return out
+
+    results = {"baseline": evaluate(init, "baseline (random init)")}
+
+    # --- 3: train the two arms from the SAME init ------------------------
+    def train_arm(loss_cfg, label):
+        ds = QuadrupletDataset(root, n_pos=1, n_part_pos=1, n_neg=1, seed=14)
+        mining_enc = SentenceEncoder(cfg, init, tok)
+        encode_init = lambda texts: mining_enc.encode(list(texts))
+        pool = ds.store.all_positive_captions()
+        table = EmbeddingTable(pool, encode_init, refresh_steps=20,
+                               max_pool=20000)
+        ds.miner = NegativeMiner(table, encode_init,
+                                 mode=HARD_CONTRASTIVE_TRAIN, seed=14)
+        epochs = max(1, -(-args.steps * args.batch // len(ds)))
+        spe = -(-args.steps // epochs)
+        tcfg = TrainConfig(
+            batch_size=args.batch, epochs=epochs, learning_rate=args.lr,
+            scheduler="warmuplinear", warmup_steps=50, evaluation_steps=0,
+            checkpoint_save_steps=0, use_amp=True, seed=14,
+            experiment_dir=os.path.join(work, f"exp_{label}"))
+        collator = QuadrupletCollator(tok, max_length=cfg.max_seq_length)
+        trainer = Trainer(cfg, loss_cfg, tcfg, ds, collator, evaluator=None,
+                          steps_per_epoch=spe)
+        t0 = time.perf_counter()
+        result = trainer.train(rng=jax.random.key(14))
+        print(f"[{label}] trained {trainer.total_steps} steps in "
+              f"{time.perf_counter() - t0:.0f}s "
+              f"({result.steps_per_sec:.1f} steps/s)", flush=True)
+        return result.state.params, trainer.total_steps
+
+    gamma_params, gamma_steps = train_arm(
+        LossConfig(kind="gamma", margin_pos_part=0.5, margin_part_neg=0.5),
+        "gamma-quadruplet")
+    results["quadruplet"] = evaluate(gamma_params, "gamma-quadruplet")
+    triplet_params, triplet_steps = train_arm(
+        LossConfig(kind="triplet"), "triplet")
+    results["triplet"] = evaluate(triplet_params, "triplet")
+
+    print(json.dumps({
+        "metric": "ablation_quadruplet_vs_triplet",
+        "steps_per_arm": {"quadruplet": gamma_steps, "triplet": triplet_steps},
+        "results": results,
+    }))
+
+    # markdown table for RESULTS.md
+    rows = ["| model | R@10 (pos+part) | NDCG@10 (pos+part) | "
+            "R@10 (pos) | R@10 (part) | acc(pos,part) | acc(part,neg) | "
+            "acc(pos,neg) | global |",
+            "|---|---|---|---|---|---|---|---|---|"]
+    for label in ("baseline", "quadruplet", "triplet"):
+        r = results[label]
+        o = r["ordering"]
+        rows.append(
+            f"| {label} | {r['pos+part']['recall@10']} | "
+            f"{r['pos+part']['ndcg@10']} | {r['pos_only']['recall@10']} | "
+            f"{r['part_only']['recall@10']} | {o.get('acc_pos_part')} | "
+            f"{o.get('acc_part_neg')} | {o.get('acc_pos_neg')} | "
+            f"{o.get('global_accuracy')} |")
+    print("\n".join(rows))
+
+
+if __name__ == "__main__":
+    main()

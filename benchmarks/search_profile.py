@@ -1,9 +1,18 @@
 """Component-level timing of the search backends (VERDICT r1 #2).
 
-Times each stage of the Pallas v2 pipeline and the XLA scan separately so
-RESULTS.md can state what the search is actually bound by. Relay rules: host
-materialization per iteration, persistent compile cache, subtract nothing —
-every number includes the ~30 ms relay round-trip.
+Times each stage-prefix of the Pallas v2 pipeline and the XLA scan so
+RESULTS.md can state what the search is actually bound by. Marginal stage
+cost = difference between consecutive prefixes.
+
+Relay rules respected:
+- outputs are reduced to SCALARS inside the jit before the host read (a raw
+  (4096, 7813) stage output is 128 MB ≈ 4 s of relay transfer — that would
+  measure the tunnel, not the chip);
+- the corpus is an explicit jit argument, never a closed-over constant (a
+  captured 768 MB constant blows the relay's remote-compile request limit:
+  HTTP 413);
+- persistent compile cache on; every number includes the ~30 ms relay
+  round-trip.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/search_profile.py
 """
@@ -11,7 +20,6 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/search_profile.py
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import time
 
@@ -19,6 +27,7 @@ import numpy as np
 
 DIM = 384
 K = 10
+BUCKET = 128
 
 
 def main() -> None:
@@ -40,6 +49,7 @@ def main() -> None:
     from qst_tpu.ops.topk_pallas import (
         _hierarchical_top_buckets,
         bucket_maxima,
+        pallas_topk_v2,
     )
     from qst_tpu.retrieval.index import exact_topk
 
@@ -51,78 +61,48 @@ def main() -> None:
         rng.standard_normal((args.q, DIM)).astype(np.float32))
     ).astype(jnp.bfloat16) for _ in range(4)]
 
-    def timeit(name, fn, reads):
-        out = fn(qs[0])
-        _ = [np.asarray(r) for r in reads(out)]
+    def timeit(name, fn):
+        out = fn(qs[0], corpus_bf16)
+        _ = [np.asarray(r) for r in jax.tree.leaves(out)]
         t0 = time.perf_counter()
         for i in range(args.iters):
-            out = fn(qs[i % len(qs)])
-            _ = [np.asarray(r)[:1] for r in reads(out)]
+            out = fn(qs[i % len(qs)], corpus_bf16)
+            _ = [np.asarray(r) for r in jax.tree.leaves(out)]
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:28s} {dt * 1e3:8.1f} ms/call")
+        print(f"{name:30s} {dt * 1e3:8.1f} ms/call", flush=True)
         return dt
 
-    # stage 1: fused matmul + bucket maxima kernel only
-    timeit("bucket_maxima (kernel)",
-           lambda q: bucket_maxima(q, corpus_bf16), lambda o: [o])
-
-    # stage 1+2: + hierarchical bucket selection
     @jax.jit
-    def through_select(q):
-        bm = bucket_maxima(q, corpus_bf16)
-        return _hierarchical_top_buckets(bm, K)
-
-    timeit("+ hierarchical select", through_select, lambda o: [o])
-
-    # stage 3 variants: rescore of winning buckets
-    @jax.jit
-    def full_f32_gather(q):
-        bm = bucket_maxima(q, corpus_bf16)
-        bucket_ids = _hierarchical_top_buckets(bm, K)
-        BUCKET = 128
-        Q = q.shape[0]
-        N = corpus_bf16.shape[0]
-        doc_ids = (bucket_ids[:, :, None] * BUCKET
-                   + jnp.arange(BUCKET)[None, None, :])
-        flat = doc_ids.reshape(Q, K * BUCKET)
-        valid = flat < N
-        safe = jnp.minimum(flat, N - 1)
-        docs = corpus_bf16[safe]
-        scores = jnp.einsum("qd,qmd->qm", q.astype(jnp.float32),
-                            docs.astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
-        scores = jnp.where(valid, scores, -jnp.inf)
-        top_s, pos = jax.lax.top_k(scores, K)
-        return top_s, jnp.take_along_axis(flat, pos, axis=1)
-
-    timeit("+ gather rescore f32", full_f32_gather, lambda o: list(o))
+    def s1_kernel(q, c):
+        return bucket_maxima(q, c).sum()
 
     @jax.jit
-    def full_bf16_vpu(q):
-        bm = bucket_maxima(q, corpus_bf16)
-        bucket_ids = _hierarchical_top_buckets(bm, K)
-        BUCKET = 128
-        Q = q.shape[0]
-        N = corpus_bf16.shape[0]
-        doc_ids = (bucket_ids[:, :, None] * BUCKET
-                   + jnp.arange(BUCKET)[None, None, :])
-        flat = doc_ids.reshape(Q, K * BUCKET)
-        valid = flat < N
-        safe = jnp.minimum(flat, N - 1)
-        docs = corpus_bf16[safe]  # (Q, k*128, D) bf16
-        # VPU broadcast-multiply + reduce in f32, no dtype blowup
-        scores = jnp.sum(q[:, None, :].astype(jnp.float32)
-                         * docs.astype(jnp.float32), axis=-1)
-        scores = jnp.where(valid, scores, -jnp.inf)
-        top_s, pos = jax.lax.top_k(scores, K)
-        return top_s, jnp.take_along_axis(flat, pos, axis=1)
+    def s2_select(q, c):
+        bm = bucket_maxima(q, c)
+        return _hierarchical_top_buckets(bm, K).sum()
 
-    timeit("+ gather rescore vpu-sum", full_bf16_vpu, lambda o: list(o))
+    @jax.jit
+    def s3_full(q, c):
+        top_s, top_i = pallas_topk_v2(q, c, K)
+        return top_s.sum(), top_i.sum()
 
-    # the XLA scan for comparison
-    timeit("xla scan (bf16, tile 131k)",
-           lambda q: exact_topk(q, corpus_bf16, K, "dot_score", tile=131072),
-           lambda o: list(o))
+    @jax.jit
+    def scan_full(q, c):
+        top_s, top_i = exact_topk(q, c, K, "dot_score", tile=131072)
+        return top_s.sum(), top_i.sum()
+
+    @jax.jit
+    def matmul_only(q, c):
+        # pure MXU roofline probe: same FLOPs as scoring, max-reduced
+        s = jax.lax.dot_general(q, c, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return s.max()
+
+    timeit("matmul+max only (roofline)", matmul_only)
+    timeit("v2 s1: bucket_maxima kernel", s1_kernel)
+    timeit("v2 s2: + hierarchical select", s2_select)
+    timeit("v2 s3: + gather rescore (full)", s3_full)
+    timeit("xla scan (bf16, tile 131k)", scan_full)
 
 
 if __name__ == "__main__":

@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_hf_checkpoint_dir_flag(p)
     # loss (reference defaults training/main.py:211-218)
     p.add_argument("--loss_kind", default="gamma",
-                   choices=["gamma", "d_regularized"])
+                   choices=["gamma", "d_regularized", "triplet"])
     p.add_argument("--gamma", type=float, default=DEFAULT_GAMMA)
     p.add_argument("--margin_pos_neg", type=float, default=1.0)
     p.add_argument("--margin_pos_part", type=float, default=0.5)

@@ -75,7 +75,11 @@ REDUCTIONS = frozenset({"mean", "sum", "none"})
 class LossConfig:
     """Quadruplet-loss hyperparameters (reference losses.py:9-69 defaults)."""
 
-    kind: str = "gamma"  # "gamma" | "d_regularized"
+    # "gamma" | "d_regularized" | "triplet" ("triplet" is the plain
+    # (anchor, pos, neg) margin loss — the ablation baseline against which
+    # the quadruplet's part-positive term is measured; it ignores the
+    # part-positive role entirely)
+    kind: str = "gamma"
     gamma: float = DEFAULT_GAMMA
     margin_pos_neg: float = 1.0
     margin_pos_part: float = 0.5
@@ -87,7 +91,7 @@ class LossConfig:
     lmbd: float = 0.1
 
     def __post_init__(self) -> None:
-        if self.kind not in ("gamma", "d_regularized"):
+        if self.kind not in ("gamma", "d_regularized", "triplet"):
             raise ValueError(f"unknown loss kind: {self.kind}")
         _validate_unit("gamma", self.gamma)
         _validate_positive("margin_pos_neg", self.margin_pos_neg)

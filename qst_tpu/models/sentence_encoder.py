@@ -79,6 +79,27 @@ def embed_fn(cfg: EncoderConfig) -> Callable:
     return fwd
 
 
+def embed_many_fn(cfg: EncoderConfig) -> Callable:
+    """Multi-batch forward: (params, ids (K, B, S), mask (K, B, S)) →
+    (K, B, D) — K encoder forwards in ONE dispatch via ``lax.scan``.
+
+    The encode-side analogue of ``train_step.make_multi_step``: amortizes
+    per-dispatch overhead (the dev relay adds ~30 ms per call; production
+    stacks see reduced launch/host costs too) while keeping the per-step
+    activation footprint at one batch."""
+    fwd = embed_fn(cfg)
+
+    def many(params, input_ids, attention_mask):
+        def body(_, batch):
+            ids, mask = batch
+            return None, fwd(params, ids, mask)
+
+        _, out = jax.lax.scan(body, None, (input_ids, attention_mask))
+        return out
+
+    return many
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -120,24 +141,67 @@ class SentenceEncoder:
             self._n_data = 1
         self._jitted = jax.jit(self._fwd, in_shardings=in_shardings,
                                out_shardings=out_sharding)
+        self._many = embed_many_fn(cfg)
+        many_in = None
+        if in_shardings is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from qst_tpu.core.meshes import DATA_AXIS
+
+            kbatch_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+            many_in = (None, kbatch_sh, kbatch_sh)
+        self._jitted_many = jax.jit(self._many, in_shardings=many_in,
+                                    out_shardings=out_sharding)
 
     def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         return self._jitted(self.params, input_ids, attention_mask)
+
+    def encode_ids_many(self, input_ids: jax.Array,
+                        attention_mask: jax.Array) -> jax.Array:
+        """(K, B, S) ids/mask → (K, B, D): K batches in one dispatch."""
+        return self._jitted_many(self.params, input_ids, attention_mask)
 
     def encode(
         self,
         texts: Sequence[str],
         batch_size: int = 256,
         convert_to_numpy: bool = True,
+        pipeline_batches: int = 1,
     ):
         """Batched encode with shape bucketing (pad batch AND seq length to
         fixed buckets so XLA compiles once per bucket, replacing the
-        reference's dynamic smart batching)."""
+        reference's dynamic smart batching).
+
+        ``pipeline_batches=K > 1`` dispatches K full batches per device call
+        through the scanned multi-batch forward (``embed_many_fn``) —
+        amortizes per-dispatch overhead for bulk corpus encoding; the tail
+        that doesn't fill K full batches takes the single-batch path."""
+        if pipeline_batches < 1:
+            raise ValueError(
+                f"pipeline_batches must be >= 1, got {pipeline_batches}")
         seq_buckets = [b for b in self.SEQ_BUCKETS if b <= self.cfg.max_seq_length]
         if not seq_buckets or seq_buckets[-1] != self.cfg.max_seq_length:
             seq_buckets.append(self.cfg.max_seq_length)
         outs: List[np.ndarray] = []
-        for start in range(0, len(texts), batch_size):
+        start0 = 0
+        if pipeline_batches > 1:
+            K = pipeline_batches
+            B = -(-batch_size // self._n_data) * self._n_data
+            group = K * B
+            n_groups = len(texts) // group
+            for g in range(n_groups):
+                chunk = list(texts[g * group:(g + 1) * group])
+                ids, mask = self.tokenizer.batch_encode(
+                    chunk, max_length=self.cfg.max_seq_length)
+                longest = int(mask.sum(axis=1).max())
+                S = _bucket(longest, seq_buckets)
+                ids = ids[:, :S].reshape(K, B, S)
+                mask = mask[:, :S].reshape(K, B, S)
+                emb = self.encode_ids_many(jnp.asarray(ids),
+                                           jnp.asarray(mask))
+                outs.append(np.asarray(emb).reshape(group, -1))
+            start0 = n_groups * group
+        for start in range(start0, len(texts), batch_size):
             chunk = list(texts[start:start + batch_size])
             ids, mask = self.tokenizer.batch_encode(
                 chunk, max_length=self.cfg.max_seq_length)

@@ -193,12 +193,20 @@ class ExactIndex:
     over a mesh). Use :meth:`search` for top-k ids + scores."""
 
     def __init__(self, embeddings, ids: Optional[list] = None,
-                 mesh: Optional[Mesh] = None, normalize: bool = False):
+                 mesh: Optional[Mesh] = None, normalize: bool = False,
+                 dtype: str = "float32"):
+        """dtype="bfloat16" stores the corpus MXU-native — ~4× matmul
+        throughput; ranking is then exact w.r.t. bf16-input scores (the
+        benchmarked serving configuration)."""
         emb = jnp.asarray(embeddings, dtype=jnp.float32)
         if emb.ndim != 2 or emb.shape[0] == 0:
             raise ValueError(f"embeddings must be (N, D), got {emb.shape}")
         if normalize:
             emb = l2_normalize(emb)
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"dtype must be float32|bfloat16, got {dtype}")
+        emb = emb.astype(jnp.dtype(dtype))
+        self._normalized = normalize
         self.n_docs = emb.shape[0]
         self.dim = emb.shape[1]
         self.ids = list(ids) if ids is not None else list(range(self.n_docs))
@@ -218,32 +226,54 @@ class ExactIndex:
             self.mesh = None
             self.embeddings = emb
 
+    PALLAS_MIN_DOCS = 65536  # below this the plain XLA path wins
+
+    def _pallas_eligible(self, k: int, score: str) -> bool:
+        import jax
+
+        return (self.mesh is None
+                and k <= 128
+                and score in ("cos_sim", "dot_score")
+                and self.n_docs >= self.PALLAS_MIN_DOCS
+                and jax.devices()[0].platform != "cpu")
+
     def search(self, queries, k: int = 10, score: str = "cos_sim",
-               tile: int = 8192, backend: str = "xla"
+               tile: int = 131072, backend: str = "auto"
                ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores (Q, k), indices (Q, k)) as numpy. k is clamped to N.
 
-        backend="pallas" uses the fused matmul+streaming-top-k TPU kernel
-        (qst_tpu.ops.topk_pallas) — dot/cos only, single-device, k <= 16.
+        backend: "auto" picks the fused Pallas pipeline
+        (qst_tpu.ops.topk_pallas.pallas_topk_v2 — bucket-maxima kernel +
+        dynamic-DMA rescore; 46k QPS vs the scan's 28k at Q=4096/1M bf16
+        docs, measured) on TPU for single-device cos/dot searches over large
+        corpora, else the XLA bucket-max scan. "pallas" / "xla" force one.
         """
         if score not in SCORE_FUNCTIONS:
             raise ValueError(
                 f"unknown score {score!r}; choices: {sorted(SCORE_FUNCTIONS)}")
-        q = jnp.asarray(queries, dtype=jnp.float32)
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
         k = min(k, self.n_docs)
-        if backend == "pallas":
+        use_pallas = (backend == "pallas"
+                      or (backend == "auto"
+                          and self._pallas_eligible(k, score)))
+        if use_pallas:
             if self.mesh is not None:
                 raise ValueError("pallas backend is single-device")
             if score not in ("cos_sim", "dot_score"):
                 raise ValueError("pallas backend supports cos/dot scores")
-            from qst_tpu.ops.topk_pallas import pallas_topk
+            from qst_tpu.ops.topk_pallas import pallas_topk_v2
 
-            qq, cc = q, self.embeddings
+            cc = self.embeddings
+            qq = jnp.asarray(queries, dtype=jnp.float32)
             if score == "cos_sim":
                 qq = l2_normalize(qq)
-                cc = l2_normalize(cc.astype(jnp.float32))
-            s, i = pallas_topk(qq, cc, k)
+                if not self._normalized:
+                    cc = l2_normalize(cc.astype(jnp.float32)).astype(cc.dtype)
+            qq = qq.astype(cc.dtype)
+            s, i = pallas_topk_v2(qq, cc, k)
             return np.asarray(s), np.asarray(i)
+        q = jnp.asarray(queries, dtype=jnp.float32)
         if self.mesh is not None:
             key = (k, score)
             if key not in self._search_fns:

@@ -33,7 +33,46 @@ from qst_tpu.models.sentence_encoder import SentenceEncoderModule
 from qst_tpu.ops.losses import (
     d_regularized_quadruplet_loss,
     gamma_quadruplet_loss,
+    triplet_margin_loss,
 )
+
+
+def loss_from_config(loss_cfg: LossConfig,
+                     discr_apply: Optional[Callable] = None) -> Callable:
+    """→ ``loss(a, pos, part, neg) -> scalar`` for the configured kind.
+
+    One dispatch point for all three loss kinds: "gamma" (reference
+    losses.py:9-69), "d_regularized" (:72-151, needs ``discr_apply``), and
+    "triplet" — the plain (anchor, pos, neg) hinge that IGNORES the
+    part-positive role, used as the ablation baseline for the quadruplet
+    loss's graded-relevance claim."""
+    if loss_cfg.kind == "d_regularized":
+        if discr_apply is None:
+            raise ValueError("d_regularized loss needs discr_apply")
+
+        def loss(a, pos, part, neg):
+            return d_regularized_quadruplet_loss(
+                a, pos, part, neg,
+                margin_pos_neg=loss_cfg.margin_pos_neg,
+                margin_part_neg=loss_cfg.margin_part_neg,
+                lmbd=loss_cfg.lmbd, discr=discr_apply,
+                p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
+    elif loss_cfg.kind == "triplet":
+        def loss(a, pos, part, neg):
+            del part
+            return triplet_margin_loss(
+                a, pos, neg, margin=loss_cfg.margin_pos_neg,
+                p=loss_cfg.p, swap=loss_cfg.swap).mean()
+    else:
+        def loss(a, pos, part, neg):
+            return gamma_quadruplet_loss(
+                a, pos, part, neg,
+                gamma=loss_cfg.gamma,
+                margin_pos_neg=loss_cfg.margin_pos_neg,
+                margin_pos_part=loss_cfg.margin_pos_part,
+                margin_part_neg=loss_cfg.margin_part_neg,
+                p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
+    return loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -146,23 +185,10 @@ def make_train_step(
             deterministic=False, rngs={"dropout": dropout_rng})
         emb = out["sentence_embedding"].reshape(four, B, -1)
         a, pos, part, neg = emb[0], emb[1], emb[2], emb[3]
-        if d_reg:
-            loss = d_regularized_quadruplet_loss(
-                a, pos, part, neg,
-                margin_pos_neg=loss_cfg.margin_pos_neg,
-                margin_part_neg=loss_cfg.margin_part_neg,
-                lmbd=loss_cfg.lmbd,
-                discr=lambda x, y: discr.apply({"params": trainable["discr"]}, x, y),
-                p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
-        else:
-            loss = gamma_quadruplet_loss(
-                a, pos, part, neg,
-                gamma=loss_cfg.gamma,
-                margin_pos_neg=loss_cfg.margin_pos_neg,
-                margin_pos_part=loss_cfg.margin_pos_part,
-                margin_part_neg=loss_cfg.margin_part_neg,
-                p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
-        return loss
+        discr_apply = (
+            lambda x, y: discr.apply({"params": trainable["discr"]}, x, y)
+        ) if d_reg else None
+        return loss_from_config(loss_cfg, discr_apply)(a, pos, part, neg)
 
     def step(state: TrainState, input_ids, attention_mask, dropout_rng):
         trainable = {"encoder": state.params}
@@ -219,20 +245,10 @@ def make_multi_step(
             deterministic=False, rngs={"dropout": dropout_rng})
         emb = out["sentence_embedding"].reshape(four, B, -1)
         a, pos, part, neg = emb[0], emb[1], emb[2], emb[3]
-        if d_reg:
-            return d_regularized_quadruplet_loss(
-                a, pos, part, neg,
-                margin_pos_neg=loss_cfg.margin_pos_neg,
-                margin_part_neg=loss_cfg.margin_part_neg,
-                lmbd=loss_cfg.lmbd,
-                discr=lambda x, y: discr.apply({"params": trainable["discr"]}, x, y),
-                p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
-        return gamma_quadruplet_loss(
-            a, pos, part, neg, gamma=loss_cfg.gamma,
-            margin_pos_neg=loss_cfg.margin_pos_neg,
-            margin_pos_part=loss_cfg.margin_pos_part,
-            margin_part_neg=loss_cfg.margin_part_neg,
-            p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
+        discr_apply = (
+            lambda x, y: discr.apply({"params": trainable["discr"]}, x, y)
+        ) if d_reg else None
+        return loss_from_config(loss_cfg, discr_apply)(a, pos, part, neg)
 
     def one_step(state, batch):
         input_ids, attention_mask, rng_key = batch
@@ -283,21 +299,11 @@ def make_eval_loss_fn(
                           deterministic=True)
         emb = out["sentence_embedding"].reshape(four, B, -1)
         a, pos, part, neg = emb[0], emb[1], emb[2], emb[3]
+        discr_apply = None
         if loss_cfg.kind == "d_regularized":
             discr = PairDiscriminator()
-            return d_regularized_quadruplet_loss(
-                a, pos, part, neg,
-                margin_pos_neg=loss_cfg.margin_pos_neg,
-                margin_part_neg=loss_cfg.margin_part_neg,
-                lmbd=loss_cfg.lmbd,
-                discr=lambda x, y: discr.apply({"params": discr_params}, x, y),
-                p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
-        return gamma_quadruplet_loss(
-            a, pos, part, neg,
-            gamma=loss_cfg.gamma,
-            margin_pos_neg=loss_cfg.margin_pos_neg,
-            margin_pos_part=loss_cfg.margin_pos_part,
-            margin_part_neg=loss_cfg.margin_part_neg,
-            p=loss_cfg.p, swap=loss_cfg.swap, reduction="mean")
+            discr_apply = lambda x, y: discr.apply(
+                {"params": discr_params}, x, y)
+        return loss_from_config(loss_cfg, discr_apply)(a, pos, part, neg)
 
     return eval_loss

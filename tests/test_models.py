@@ -169,3 +169,15 @@ def test_discriminator():
     a = jnp.ones((4, 16))
     out = d.apply({"params": params}, a, a * 2)
     assert out.shape == (4, 1)
+
+
+def test_encode_pipeline_batches_matches_single(tiny_params):
+    """pipeline_batches=K (scanned multi-batch dispatch) must produce
+    exactly the single-batch results, including the non-full tail."""
+    enc = SentenceEncoder(TINY, tiny_params, HashTokenizer(TINY.vocab_size))
+    texts = [f"sentence number {i} about topic {i % 5}" for i in range(29)]
+    base = enc.encode(texts, batch_size=4)
+    piped = enc.encode(texts, batch_size=4, pipeline_batches=3)
+    np.testing.assert_allclose(piped, base, atol=1e-6)
+    with pytest.raises(ValueError):
+        enc.encode(texts, pipeline_batches=0)

@@ -1,4 +1,4 @@
-"""Pallas streaming-top-k kernel tests (interpreter mode on the CPU mesh;
+"""Pallas exact-top-k pipeline tests (interpreter mode on the CPU mesh;
 compiled-mode correctness is exercised on real TPU hardware in verification
 drivers — Mosaic does not compile for the CPU backend)."""
 
@@ -8,59 +8,18 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from qst_tpu.ops.topk_pallas import K_PAD, pallas_topk, reference_topk
+from qst_tpu.ops.topk_pallas import (
+    BUCKET,
+    bucket_maxima,
+    pallas_topk_v2,
+    reference_topk,
+    rescore_buckets,
+)
 
 
-@pytest.mark.parametrize("shape", [(500, 64, 37), (3000, 128, 256),
-                                   (1024, 32, 8)])
-def test_pallas_topk_matches_reference(rng, shape):
-    N, D, Q = shape
-    corpus = rng.standard_normal((N, D)).astype(np.float32)
-    queries = rng.standard_normal((Q, D)).astype(np.float32)
-    k = 10
-    gs, gi = reference_topk(jnp.asarray(queries), jnp.asarray(corpus), k)
-    s, i = pallas_topk(jnp.asarray(queries), jnp.asarray(corpus), k,
-                       interpret=True)
-    np.testing.assert_array_equal(np.asarray(i), np.asarray(gi))
-    np.testing.assert_allclose(np.asarray(s), np.asarray(gs), rtol=1e-4,
-                               atol=1e-5)
-
-
-def test_pallas_topk_same_bucket_collisions(rng):
-    """Several global top-k docs inside one 128-bucket must all be found."""
-    N, D, Q, k = 4000, 48, 64, 10
-    corpus = rng.standard_normal((N, D)).astype(np.float32) * 0.01
-    queries = rng.standard_normal((Q, D)).astype(np.float32)
-    qn = queries[0] / np.linalg.norm(queries[0])
-    planted = [512, 513, 514, 515, 516, 517, 518, 2000, 3000, 3999]
-    for r, d in enumerate(planted):
-        corpus[d] = qn * (100.0 - r)
-    s, i = pallas_topk(jnp.asarray(queries), jnp.asarray(corpus), k,
-                       interpret=True)
-    assert list(np.asarray(i)[0]) == planted
-
-
-def test_pallas_topk_k_validation(rng):
-    corpus = rng.standard_normal((300, 16)).astype(np.float32)
-    queries = rng.standard_normal((4, 16)).astype(np.float32)
-    with pytest.raises(ValueError):
-        pallas_topk(jnp.asarray(queries), jnp.asarray(corpus), K_PAD + 1,
-                    interpret=True)
-
-
-def test_index_pallas_backend_validation(rng):
-    from qst_tpu.retrieval import ExactIndex
-
-    idx = ExactIndex(rng.standard_normal((64, 16)).astype(np.float32))
-    with pytest.raises(ValueError):
-        idx.search(np.zeros((2, 16), np.float32), backend="pallas",
-                   score="euclid_score")
-
-
-@pytest.mark.parametrize("shape", [(5000, 64, 300), (9000, 32, 40)])
+@pytest.mark.parametrize("shape", [(5000, 64, 300), (9000, 32, 40),
+                                   (1024, 128, 8)])
 def test_pallas_topk_v2_matches_reference(rng, shape):
-    from qst_tpu.ops.topk_pallas import pallas_topk_v2
-
     N, D, Q = shape
     corpus = rng.standard_normal((N, D)).astype(np.float32)
     queries = rng.standard_normal((Q, D)).astype(np.float32)
@@ -74,8 +33,7 @@ def test_pallas_topk_v2_matches_reference(rng, shape):
 
 
 def test_pallas_topk_v2_same_bucket_collisions(rng):
-    from qst_tpu.ops.topk_pallas import pallas_topk_v2
-
+    """Several global top-k docs inside one 128-bucket must all be found."""
     N, D, Q, k = 6000, 48, 16, 10
     corpus = rng.standard_normal((N, D)).astype(np.float32) * 0.01
     queries = rng.standard_normal((Q, D)).astype(np.float32)
@@ -86,3 +44,84 @@ def test_pallas_topk_v2_same_bucket_collisions(rng):
     s, i = pallas_topk_v2(jnp.asarray(queries), jnp.asarray(corpus), k,
                           interpret=True)
     assert list(np.asarray(i)[0]) == planted
+
+
+def test_bucket_maxima_packed_layout(rng):
+    """The packed output (several grid steps per 128-lane block) must put
+    global bucket b's maximum at column b exactly."""
+    N, D, Q = 7000, 32, 24  # N not a multiple of the corpus tile
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    bm = np.asarray(bucket_maxima(jnp.asarray(queries), jnp.asarray(corpus),
+                                  interpret=True))
+    scores = queries @ corpus.T
+    n_buckets = -(-N // BUCKET)
+    assert bm.shape == (Q, n_buckets)
+    pad = np.full((Q, n_buckets * BUCKET - N), -np.inf, np.float32)
+    golden = np.concatenate([scores, pad], axis=1).reshape(
+        Q, n_buckets, BUCKET).max(axis=2)
+    np.testing.assert_allclose(bm, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_rescore_buckets_exact(rng):
+    """The dynamic-DMA rescore kernel must reproduce the true scores of
+    every (query, winning-bucket) pair, including with Q not a multiple of
+    the 8-row block."""
+    N, D, Q, k = 2048, 64, 13, 3
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    bucket_ids = rng.integers(0, N // BUCKET, (Q, k)).astype(np.int32)
+    out = np.asarray(rescore_buckets(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(bucket_ids),
+        k, interpret=True))
+    assert out.shape == (Q, k * BUCKET)
+    for q in range(Q):
+        for j in range(k):
+            rows = corpus[bucket_ids[q, j] * BUCKET:
+                          (bucket_ids[q, j] + 1) * BUCKET]
+            np.testing.assert_allclose(
+                out[q, j * BUCKET:(j + 1) * BUCKET], queries[q] @ rows.T,
+                rtol=1e-4, atol=1e-5)
+
+
+def test_index_pallas_backend_validation(rng):
+    from qst_tpu.retrieval import ExactIndex
+
+    idx = ExactIndex(rng.standard_normal((64, 16)).astype(np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.zeros((2, 16), np.float32), backend="pallas",
+                   score="euclid_score")
+    with pytest.raises(ValueError):
+        idx.search(np.zeros((2, 16), np.float32), backend="nope")
+    with pytest.raises(ValueError):
+        ExactIndex(rng.standard_normal((8, 4)).astype(np.float32),
+                   dtype="float16")
+
+
+def test_index_auto_backend_on_cpu_uses_xla(rng):
+    """On the CPU test mesh, auto must fall back to the XLA scan (Mosaic
+    does not compile for CPU) and still be exact."""
+    from qst_tpu.retrieval import ExactIndex
+
+    corpus = rng.standard_normal((300, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    idx = ExactIndex(corpus)
+    s, i = idx.search(queries, k=7)  # backend="auto"
+    gs, gi = reference_topk(jnp.asarray(queries / np.linalg.norm(
+        queries, axis=1, keepdims=True)),
+        jnp.asarray(corpus / np.linalg.norm(corpus, axis=1, keepdims=True)),
+        7)
+    np.testing.assert_array_equal(i, np.asarray(gi))
+
+
+def test_index_bf16_dtype(rng):
+    """A bf16 index must return the same top-1 as f32 on well-separated
+    corpora and expose bf16 storage."""
+    from qst_tpu.retrieval import ExactIndex
+
+    corpus = rng.standard_normal((256, 32)).astype(np.float32) * 4
+    queries = corpus[:5] + 0.01
+    idx16 = ExactIndex(corpus, dtype="bfloat16")
+    assert idx16.embeddings.dtype == jnp.bfloat16
+    s, i = idx16.search(queries, k=1)
+    np.testing.assert_array_equal(i[:, 0], np.arange(5))

@@ -269,3 +269,37 @@ def test_trainer_steps_per_call(tmp_path):
     assert any(s > 0 for s in evals)
     with pytest.raises(ValueError):
         Trainer(TINY, LOSS, tcfg, ds, collator, steps_per_call=0)
+
+
+def test_triplet_loss_kind_ignores_part_positive():
+    """kind='triplet' (the ablation baseline) must train on (a, pos, neg)
+    only: replacing the part-positive batch must not change the loss or the
+    update, while the gamma loss DOES depend on it."""
+    from qst_tpu.train.train_step import loss_from_config
+
+    rng = np.random.default_rng(0)
+    a, pos, part, neg, part2 = (
+        jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+        for _ in range(5))
+    tri = loss_from_config(LossConfig(kind="triplet"))
+    assert float(tri(a, pos, part, neg)) == float(tri(a, pos, part2, neg))
+    gam = loss_from_config(
+        LossConfig(margin_pos_part=0.5, margin_part_neg=0.5))
+    assert float(gam(a, pos, part, neg)) != float(gam(a, pos, part2, neg))
+    # triplet == the gamma loss's pos-neg term alone
+    from qst_tpu.ops.losses import triplet_margin_loss
+
+    golden = float(triplet_margin_loss(a, pos, neg, margin=1.0).mean())
+    assert float(tri(a, pos, part, neg)) == pytest.approx(golden)
+
+
+def test_train_step_triplet_kind_runs():
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                       scheduler="constantlr")
+    loss_cfg = LossConfig(kind="triplet")
+    state, tx = create_train_state(TINY, tcfg, jax.random.key(0), 100,
+                                   loss_cfg)
+    step = make_train_step(TINY, loss_cfg, tx)
+    ids, mask = _batch()
+    state, loss = step(state, ids, mask, jax.random.key(1))
+    assert np.isfinite(float(loss))
