@@ -10,6 +10,7 @@ from qst_tpu.augment.backtranslation import (
     format_batch_texts,
 )
 from qst_tpu.augment.mlm import MLMAugmenter
+from qst_tpu.augment.llm_client import OpenAICompatibleClient, get_llm_fn
 from qst_tpu.augment.partial_positive import (
     ADAPTIVE_CROP,
     ADAPTIVE_CROP_AUGMENT,
@@ -45,6 +46,8 @@ __all__ = [
     "ADAPTIVE_CROP_AUGMENT",
     "LLM",
     "MOCK",
+    "OpenAICompatibleClient",
+    "get_llm_fn",
     "mock_llm_response",
     "build_llm_prompt",
     "parse_llm_response",

@@ -4,6 +4,7 @@ from qst_tpu.models.sentence_encoder import (
     SentenceEncoder,
     init_params,
     embed_fn,
+    embed_many_fn,
 )
 from qst_tpu.models.cross_encoder import (
     CrossEncoderModule,
@@ -29,6 +30,7 @@ __all__ = [
     "SentenceEncoder",
     "init_params",
     "embed_fn",
+    "embed_many_fn",
     "CrossEncoderModule",
     "CrossEncoder",
     "init_cross_encoder",
