@@ -30,7 +30,7 @@ N_DOCS = 1_000_000
 DIM = 384           # MiniLM-L6 embedding width
 N_QUERIES = 4096    # per search call (sustained-throughput serving shape)
 K = 10
-ITERS = 10
+ITERS = 20  # longer window smooths episodic relay slowdowns
 TARGET_QPS_PER_CHIP = 10_000 / 8
 
 

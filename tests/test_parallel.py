@@ -118,3 +118,21 @@ def test_tp_train_step_matches_unsharded(mesh8):
     # note XLA may normalize away trailing-None spec entries
     qk = state_tp.params["encoder"]["layer_0"]["attention"]["query"]["kernel"]
     assert tuple(qk.sharding.spec)[:2] == (None, "model")
+
+
+def test_mesh_encode_pipeline_matches_single(mesh8):
+    """Data-parallel encode with the K-batch scanned pipeline: identical
+    results to the unsharded single-batch path."""
+    import numpy as np
+
+    from qst_tpu.core.config import EncoderConfig
+    from qst_tpu.models import HashTokenizer, SentenceEncoder, init_params
+
+    cfg = EncoderConfig.tiny()
+    params = init_params(cfg, jax.random.key(0))
+    tok = HashTokenizer(cfg.vocab_size)
+    texts = [f"sentence {i} topic {i % 7}" for i in range(70)]
+    plain = SentenceEncoder(cfg, params, tok).encode(texts, batch_size=16)
+    sharded = SentenceEncoder(cfg, params, tok, mesh=mesh8).encode(
+        texts, batch_size=16, pipeline_batches=2)
+    np.testing.assert_allclose(sharded, plain, atol=1e-5)
