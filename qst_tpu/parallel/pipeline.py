@@ -1,0 +1,231 @@
+"""Pipeline parallelism (GPipe-style) over a ``pipe`` mesh axis.
+
+New first-class capability (the reference has no distributed layer at all,
+SURVEY.md §2.2): the encoder trunk's layers are partitioned into stages, one
+stage per device along the ``pipe`` axis; microbatches stream through the
+stages, activations hop stage→stage over ICI via ``lax.ppermute``. Composes
+with data parallelism — a 2-D ('pipe', 'data') mesh shards each microbatch
+over ``data`` while stages split over ``pipe``.
+
+Design (idiomatic JAX, not a torch port):
+- stage parameters are STACKED: every leaf gains a leading (n_stages,
+  layers_per_stage) prefix and is sharded ``P('pipe')`` — one stage slice
+  resident per device;
+- the schedule is a ``lax.scan`` over ``n_microbatches + n_stages - 1``
+  ticks; each tick every stage applies its layer stack to its current
+  activations (bubble ticks compute on don't-care data and are masked out —
+  branch-free, XLA-friendly) and ``ppermute``s the result to the next stage;
+- the whole pipeline is a pure differentiable function: ``jax.grad``
+  through ``scan`` + ``ppermute`` yields the reverse-schedule backward
+  automatically (GPipe fill-drain; activations of all in-flight microbatches
+  are rematerialized by AD as usual);
+- outputs leave the last stage and are ``psum``-broadcast over ``pipe``
+  (every other stage contributes zeros), staying sharded over ``data``.
+
+Dropout is off inside the pipelined trunk (deterministic forward): carrying
+per-microbatch PRNG streams through stacked stage applies adds bookkeeping
+without changing the parallelism story; the embedding/pooling stages outside
+the pipeline behave as usual.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qst_tpu.core.config import EncoderConfig
+from qst_tpu.core.meshes import DATA_AXIS
+from qst_tpu.models.bert import BertEmbeddings, BertLayer
+from qst_tpu.ops.distances import l2_normalize
+from qst_tpu.ops.pooling import POOLERS
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(pipe: int, data: int = 1,
+                   devices: Optional[Any] = None) -> Mesh:
+    """2-D ('pipe', 'data') mesh."""
+    import numpy as np
+
+    devs = list(devices if devices is not None else jax.devices())
+    if pipe * data > len(devs):
+        raise ValueError(f"mesh {pipe}x{data} needs more than "
+                         f"{len(devs)} devices")
+    arr = np.asarray(devs[: pipe * data]).reshape(pipe, data)
+    return Mesh(arr, (PIPE_AXIS, DATA_AXIS))
+
+
+def stack_stage_params(encoder_params: Dict[str, Any], num_layers: int,
+                       n_stages: int) -> Any:
+    """{layer_0..layer_{L-1}} → pytree with leading (n_stages, L/n_stages)
+    axes on every leaf (stage-major, layer-minor)."""
+    if num_layers % n_stages != 0:
+        raise ValueError(
+            f"{num_layers} layers not divisible by {n_stages} stages")
+    per = num_layers // n_stages
+    stages = []
+    for s in range(n_stages):
+        group = [encoder_params[f"layer_{s * per + i}"] for i in range(per)]
+        stages.append(jax.tree.map(lambda *xs: jnp.stack(xs), *group))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def unstack_stage_params(stage_params: Any, num_layers: int) -> Dict[str, Any]:
+    """Inverse of :func:`stack_stage_params` (for checkpoint export)."""
+    leaves = jax.tree.leaves(stage_params)
+    n_stages, per = leaves[0].shape[0], leaves[0].shape[1]
+    if n_stages * per != num_layers:
+        raise ValueError("stage stack does not match num_layers")
+    out = {}
+    for s in range(n_stages):
+        for i in range(per):
+            out[f"layer_{s * per + i}"] = jax.tree.map(
+                lambda x: x[s, i], stage_params)
+    return out
+
+
+def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
+                       n_microbatches: int) -> Callable:
+    """The per-device body run under shard_map: stacked stage params +
+    microbatched activations → microbatched last-hidden states."""
+    layer = BertLayer(cfg)
+
+    def apply_stage(sp, hidden, bias, mask):
+        def body(h, lp):
+            return layer.apply({"params": lp}, h, bias, mask, True), None
+
+        h, _ = jax.lax.scan(body, hidden, sp)
+        return h
+
+    M, Pn = n_microbatches, n_stages
+
+    def trunk(stage_params, mb_hidden, mb_bias, mb_mask):
+        # local slices: stage_params (1, per, ...), mb_* (M, mb_local, ...)
+        sp = jax.tree.map(lambda x: x[0], stage_params)
+        p = jax.lax.axis_index(PIPE_AXIS)
+        last = Pn - 1
+
+        def tick(carry, t):
+            buf, outs = carry
+            m = t - p                       # microbatch at this stage now
+            valid = (m >= 0) & (m < M)
+            mc = jnp.clip(m, 0, M - 1)
+            x = jnp.where(p == 0, mb_hidden[mc], buf)
+            y = apply_stage(sp, x, mb_bias[mc], mb_mask[mc])
+            outs = jnp.where((p == last) & valid,
+                             outs.at[mc].set(y), outs)
+            # activations hop stage p → p+1 (last stage's send is dropped)
+            buf = jax.lax.ppermute(
+                y, PIPE_AXIS, [(i, i + 1) for i in range(Pn - 1)])
+            return (buf, outs), None
+
+        buf0 = jnp.zeros_like(mb_hidden[0])
+        outs0 = jnp.zeros_like(mb_hidden)
+        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
+                                    jnp.arange(M + Pn - 1))
+        # only the last stage holds real outputs; broadcast over the pipe
+        return jax.lax.psum(outs, PIPE_AXIS)
+
+    return trunk
+
+
+def make_pp_embed_fn(cfg: EncoderConfig, mesh: Mesh, n_stages: int,
+                     n_microbatches: int) -> Callable:
+    """→ ``fn(params, input_ids, attention_mask) -> (B, D) embeddings``
+    with the trunk pipeline-parallel over ``mesh``'s 'pipe' axis and the
+    batch sharded over its 'data' axis.
+
+    ``params`` = {"embeddings": <BertEmbeddings>, "stages": <stacked>}.
+    B must be divisible by n_microbatches × data-axis size.
+    """
+    if PIPE_AXIS not in mesh.shape:
+        raise ValueError("mesh needs a 'pipe' axis")
+    if mesh.shape[PIPE_AXIS] != n_stages:
+        raise ValueError(
+            f"mesh pipe={mesh.shape[PIPE_AXIS]} != n_stages={n_stages}")
+    emb_mod = BertEmbeddings(cfg)
+    trunk = _pipeline_trunk_fn(cfg, n_stages, n_microbatches)
+    sharded_trunk = jax.shard_map(
+        trunk, mesh=mesh,
+        in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS)),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )
+    M = n_microbatches
+
+    def fn(params, input_ids, attention_mask):
+        B, S = input_ids.shape
+        if B % M != 0:
+            raise ValueError(f"batch {B} not divisible by {M} microbatches")
+        position_ids = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+        hidden = emb_mod.apply({"params": params["embeddings"]},
+                               input_ids, jnp.zeros_like(input_ids),
+                               position_ids, True)
+        bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        bias = bias.astype(jnp.float32)
+        mb = B // M
+        hidden = sharded_trunk(
+            params["stages"],
+            hidden.reshape(M, mb, S, -1),
+            bias.reshape(M, mb, 1, 1, S),
+            attention_mask.reshape(M, mb, S),
+        ).reshape(B, S, -1)
+        pooled = POOLERS[cfg.pooling](hidden, attention_mask)
+        if cfg.normalize:
+            pooled = l2_normalize(pooled)
+        return pooled
+
+    return fn
+
+
+def pp_params_from_encoder(encoder_params: Dict[str, Any],
+                           cfg: EncoderConfig, n_stages: int,
+                           mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+    """Split a flat ``BertEncoder`` param tree into the PP layout (and
+    place the stage stack sharded over the pipe axis when a mesh is given)."""
+    stages = stack_stage_params(encoder_params, cfg.num_layers, n_stages)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(PIPE_AXIS))
+        stages = jax.tree.map(lambda x: jax.device_put(x, sh), stages)
+    return {"embeddings": encoder_params["embeddings"], "stages": stages}
+
+
+def make_pp_train_step(cfg: EncoderConfig, loss_cfg, tx, mesh: Mesh,
+                       n_stages: int, n_microbatches: int) -> Callable:
+    """Jitted quadruplet train step with the encoder trunk pipelined.
+
+    → ``step(state, input_ids (4, B, S), attention_mask, rng) ->
+    (state, loss)`` where ``state`` is a TrainState whose params are the PP
+    layout ({"embeddings", "stages"}). The pipelined trunk runs dropout-free
+    (see module docstring); everything else matches the standard step.
+    """
+    from qst_tpu.train.train_step import loss_from_config
+
+    fwd = make_pp_embed_fn(cfg, mesh, n_stages, n_microbatches)
+    loss_fn_inner = loss_from_config(loss_cfg)
+
+    def loss_fn(params, input_ids, attention_mask):
+        four, B, S = input_ids.shape
+        emb = fwd(params, input_ids.reshape(four * B, S),
+                  attention_mask.reshape(four * B, S))
+        emb = emb.reshape(four, B, -1)
+        return loss_fn_inner(emb[0], emb[1], emb[2], emb[3])
+
+    import optax
+
+    def step(state, input_ids, attention_mask, rng):
+        del rng  # pipelined trunk is deterministic
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, input_ids, attention_mask)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), loss
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,138 @@
+"""Pipeline parallelism (qst_tpu.parallel.pipeline) on the virtual CPU mesh.
+
+Exactness bar: the pipelined trunk is the SAME math as the sequential
+encoder, so forward outputs, losses, and gradients must match the
+single-device reference to float tolerance — across stage counts, with and
+without a data axis, and with ragged masks.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qst_tpu.core.config import EncoderConfig, LossConfig, TrainConfig
+from qst_tpu.models.sentence_encoder import embed_fn, init_params
+from qst_tpu.parallel.pipeline import (
+    make_pipe_mesh,
+    make_pp_embed_fn,
+    make_pp_train_step,
+    pp_params_from_encoder,
+    stack_stage_params,
+    unstack_stage_params,
+)
+
+CFG = dataclasses.replace(EncoderConfig.tiny(), num_layers=4,
+                          hidden_dropout=0.0, attention_dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.key(0))
+
+
+def _batch(B, seed=0):
+    rng = np.random.default_rng(seed)
+    S = CFG.max_seq_length
+    ids = rng.integers(5, CFG.vocab_size, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    mask[0, S // 2:] = 0  # ragged row
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_stack_unstack_roundtrip(params):
+    enc = params["encoder"]
+    stacked = stack_stage_params(enc, CFG.num_layers, 2)
+    flat = unstack_stage_params(stacked, CFG.num_layers)
+    for i in range(CFG.num_layers):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            flat[f"layer_{i}"], enc[f"layer_{i}"])
+    with pytest.raises(ValueError):
+        stack_stage_params(enc, CFG.num_layers, 3)
+
+
+@pytest.mark.parametrize("pipe,data,microbatches", [(2, 1, 4), (4, 1, 2),
+                                                    (2, 2, 2)])
+def test_pp_forward_matches_sequential(params, pipe, data, microbatches):
+    mesh = make_pipe_mesh(pipe, data)
+    pp_params = pp_params_from_encoder(params["encoder"], CFG, pipe, mesh)
+    fwd_pp = jax.jit(make_pp_embed_fn(CFG, mesh, pipe, microbatches))
+    fwd_ref = jax.jit(embed_fn(CFG))
+    ids, mask = _batch(8)
+    out_pp = np.asarray(fwd_pp(pp_params, ids, mask))
+    out_ref = np.asarray(fwd_ref(params, ids, mask))
+    np.testing.assert_allclose(out_pp, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pp_gradients_match_sequential(params):
+    """AD through scan+ppermute must reproduce the sequential gradients."""
+    pipe, M = 2, 2
+    mesh = make_pipe_mesh(pipe, 1)
+    pp_params = pp_params_from_encoder(params["encoder"], CFG, pipe, mesh)
+    fwd_pp = make_pp_embed_fn(CFG, mesh, pipe, M)
+    fwd_ref = embed_fn(CFG)
+    ids, mask = _batch(4)
+
+    def loss_pp(p):
+        return (fwd_pp(p, ids, mask) ** 2).sum()
+
+    def loss_ref(p):
+        return (fwd_ref(p, ids, mask) ** 2).sum()
+
+    g_pp = jax.jit(jax.grad(loss_pp))(pp_params)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+
+    # embeddings grads line up directly
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        g_pp["embeddings"], g_ref["encoder"]["embeddings"])
+    # stage grads line up after unstacking
+    flat = unstack_stage_params(g_pp["stages"], CFG.num_layers)
+    for i in range(CFG.num_layers):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            flat[f"layer_{i}"], g_ref["encoder"][f"layer_{i}"])
+
+
+def test_pp_train_step_learns(params):
+    from qst_tpu.train.train_step import TrainState, make_optimizer
+
+    pipe, M = 2, 2
+    mesh = make_pipe_mesh(pipe, 2)
+    pp_params = pp_params_from_encoder(params["encoder"], CFG, pipe, mesh)
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                       scheduler="constantlr")
+    loss_cfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+    tx = make_optimizer(tcfg, 100)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pp_params,
+                       opt_state=tx.init(pp_params))
+    step = make_pp_train_step(CFG, loss_cfg, tx, mesh, pipe, M)
+    rng = np.random.default_rng(3)
+    S = CFG.max_seq_length
+    ids = jnp.asarray(rng.integers(5, CFG.vocab_size, (4, 8, S)), jnp.int32)
+    mask = jnp.ones((4, 8, S), jnp.int32)
+    losses = []
+    for i in range(8):
+        state, loss = step(state, ids, mask, jax.random.key(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # optimizes the same objective
+
+
+def test_pp_validation_errors(params):
+    mesh = make_pipe_mesh(2, 1)
+    with pytest.raises(ValueError, match="pipe"):
+        make_pp_embed_fn(CFG, make_pipe_mesh(4, 1), n_stages=2,
+                         n_microbatches=2)
+    fwd = make_pp_embed_fn(CFG, mesh, 2, n_microbatches=3)
+    pp_params = pp_params_from_encoder(params["encoder"], CFG, 2, mesh)
+    ids, mask = _batch(8)  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="microbatches"):
+        fwd(pp_params, ids, mask)
