@@ -41,7 +41,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--variants", type=str,
-                    default="b2048,many8,b8192,flash2048")
+                    default="b2048,many8,b8192,fused2048,fused8192")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +103,21 @@ def main() -> None:
     if "flash_many8" in chosen:
         fcfg = EncoderConfig.minilm_l6(use_flash_attention=True)
         bench("flash_many8_b2048", jax.jit(embed_many_fn(fcfg)),
+              make_batches((8, 2048, S), n=2), 8 * 2048)
+    # fused per-layer Pallas kernel (ops/fused_layer_pallas.py): attention
+    # probs + layernorms + GELU never reach HBM — the round-2 answer to the
+    # bandwidth bound documented in RESULTS.md
+    if "fused2048" in chosen:
+        ucfg = EncoderConfig.minilm_l6(use_fused_layer=True)
+        bench("fused_b2048", jax.jit(embed_fn(ucfg)),
+              make_batches((2048, S)), 2048)
+    if "fused8192" in chosen:
+        ucfg = EncoderConfig.minilm_l6(use_fused_layer=True)
+        bench("fused_b8192", jax.jit(embed_fn(ucfg)),
+              make_batches((8192, S), n=2), 8192)
+    if "fused_many8" in chosen:
+        ucfg = EncoderConfig.minilm_l6(use_fused_layer=True)
+        bench("fused_many8_b2048", jax.jit(embed_many_fn(ucfg)),
               make_batches((8, 2048, S), n=2), 8 * 2048)
 
     best = max(results.items(), key=lambda kv: kv[1][0])
