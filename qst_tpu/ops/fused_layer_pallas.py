@@ -18,13 +18,17 @@ encoder layer's working set in VMEM per grid step:
   fused into the same kernel, so per layer the only HBM traffic is the
   (B·S, H) activations in/out plus the one-time weights.
 
-Semantics identical to ``qst_tpu.models.bert.BertLayer`` with
-``deterministic=True`` (the encode/inference path — this kernel has no
-custom VJP; training keeps the Flax path, whose 4-role fused forward is
-grad-checked in tests). Replaces the transformer-forward capability the
+Semantics identical to ``qst_tpu.models.bert.BertLayer`` /
+``MPNetLayer`` with ``deterministic=True``. For training, the layer also
+carries a custom VJP (``_make_diff_layer``): a second Pallas kernel
+recomputes the forward in VMEM (remat semantics — only layer inputs are
+saved) and produces dx plus every weight gradient, accumulated across
+grid steps in constant-index f32 output blocks. Dropout is not supported
+inside the kernels — train with ``hidden_dropout = attention_dropout = 0``
+or keep the Flax path. Replaces the transformer forward/backward the
 reference consumes from torch CUDA kernels via sentence-transformers
-``encode`` (reference ir_evauation_script.py:130-131,
-positive_examples_selection.py:53-54).
+(reference ir_evauation_script.py:130-131, training hot loop
+quadruplet_sentence_transformer.py:42-60).
 """
 
 from __future__ import annotations
@@ -226,6 +230,334 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
     return out.reshape(B, S, H)
 
 
+# ---------------------------------------------------------------------------
+# Backward: one Pallas kernel per layer computes dx and ALL weight grads.
+# Remat-style — only the layer INPUT is saved by the VJP; the kernel
+# recomputes q/k/v/probs/LN statistics in VMEM (the standard FLOPs-for-HBM
+# trade), then runs the full chain rule. Weight-grad outputs use constant
+# index maps and accumulate across grid steps (TPU grids are sequential,
+# so the read-modify-write is race-free).
+# ---------------------------------------------------------------------------
+
+_GRAD_NAMES = _WEIGHT_NAMES  # one grad output per weight, same order
+
+
+def _gelu_grad(x):
+    """d/dx gelu(x) = Φ(x) + x·φ(x), with Φ from the in-kernel erf."""
+    # Φ(x) via the same A&S erf approximation the forward uses
+    z = x * jnp.float32(0.7071067811865476)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * a)
+    poly = t * (jnp.float32(0.254829592) + t * (
+        jnp.float32(-0.284496736) + t * (jnp.float32(1.421413741) + t * (
+            jnp.float32(-1.453152027) + t * jnp.float32(1.061405429)))))
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-a * a))
+    phi_cdf = 0.5 * (1.0 + erf)
+    pdf = jnp.exp(-0.5 * x * x) * jnp.float32(0.3989422804014327)
+    return phi_cdf + x * pdf
+
+
+def _ln_stats(r, eps):
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(r - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (r - mu) * inv, inv
+
+
+def _ln_bwd(dy, nhat, inv, gamma):
+    """→ dr given upstream dy; also returns (dgamma, dbeta) contributions."""
+    dgamma = jnp.sum(dy * nhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    dn = dy * gamma
+    dr = inv * (dn - jnp.mean(dn, axis=-1, keepdims=True)
+                - nhat * jnp.mean(dn * nhat, axis=-1, keepdims=True))
+    return dr, dgamma, dbeta
+
+
+def _rows_T_dot(a, b):
+    """(N, P)ᵀ·(N, Q) → (P, Q), contracting the row axis on the MXU."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_rhs_T(a, b):
+    """(N, P)·(Q, P)ᵀ → (N, Q)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
+                      head_dim: int, eps: float, has_rel: bool):
+    n_in = 19 + (1 if has_rel else 0)
+    ins, outs = refs[:n_in], refs[n_in:]
+    if has_rel:
+        (x_ref, mask_ref, rel_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+         bv_ref, wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref,
+         bi2_ref, g2_ref, be2_ref, g_ref) = ins
+        dx_ref = outs[0]
+        grad_refs = outs[1:17]
+        drel_ref = outs[17]
+    else:
+        (x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+         wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref, bi2_ref,
+         g2_ref, be2_ref, g_ref) = ins
+        dx_ref = outs[0]
+        grad_refs = outs[1:17]
+        drel_ref = None
+    (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
+     dg1_ref, dbe1_ref, dw1_ref, dbi1_ref, dw2_ref, dbi2_ref, dg2_ref,
+     dbe2_ref) = grad_refs
+
+    dt = x_ref.dtype
+    x = x_ref[:]
+    mask_bias = mask_ref[:]
+    g = g_ref[:].astype(jnp.float32)
+    scale = 1.0 / math.sqrt(head_dim)
+
+    # ---- forward recompute (mirrors _layer_kernel exactly) ----
+    def proj(w_ref, b_ref):
+        acc = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+        return (acc + b_ref[:]).astype(dt)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+
+    def head_probs(i, h):
+        r0, r1 = i * seq, (i + 1) * seq
+        c0, c1 = h * head_dim, (h + 1) * head_dim
+        scores = jax.lax.dot_general(
+            q[r0:r1, c0:c1], k[r0:r1, c0:c1],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = scores * scale + mask_bias[i:i + 1, :]
+        if has_rel:
+            scores = scores + rel_ref[h * seq:(h + 1) * seq, :]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    seq_rows: List[jax.Array] = []
+    for i in range(nb):
+        r0, r1 = i * seq, (i + 1) * seq
+        heads = []
+        for h in range(num_heads):
+            c0, c1 = h * head_dim, (h + 1) * head_dim
+            p = head_probs(i, h)
+            heads.append(jnp.dot(p.astype(dt), v[r0:r1, c0:c1],
+                                 preferred_element_type=jnp.float32))
+        seq_rows.append(jnp.concatenate(heads, axis=1))
+    ctx = jnp.concatenate(seq_rows, axis=0).astype(dt)
+
+    a = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+    a = a + bo_ref[:]
+    n1, inv1 = _ln_stats(a + x.astype(jnp.float32), eps)
+    y = (n1 * g1_ref[:] + be1_ref[:]).astype(dt)
+    ipre = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    ipre = ipre + bi1_ref[:]
+    i_dt = _gelu_erf(ipre).astype(dt)
+    f = jnp.dot(i_dt, w2_ref[:], preferred_element_type=jnp.float32)
+    f = f + bi2_ref[:]
+    n2, inv2 = _ln_stats(f + y.astype(jnp.float32), eps)
+
+    # ---- backward chain ----
+    dr2, dg2, dbe2 = _ln_bwd(g, n2, inv2, g2_ref[:])
+    df_dt = dr2.astype(dt)
+    dw2 = _rows_T_dot(i_dt, df_dt)
+    dbi2 = jnp.sum(dr2, axis=0, keepdims=True)
+    di = _dot_rhs_T(df_dt, w2_ref[:])
+    dipre = di * _gelu_grad(ipre)
+    dipre_dt = dipre.astype(dt)
+    dw1 = _rows_T_dot(y, dipre_dt)
+    dbi1 = jnp.sum(dipre, axis=0, keepdims=True)
+    dy = dr2 + _dot_rhs_T(dipre_dt, w1_ref[:])
+
+    dr1, dg1, dbe1 = _ln_bwd(dy, n1, inv1, g1_ref[:])
+    da_dt = dr1.astype(dt)
+    dwo = _rows_T_dot(ctx, da_dt)
+    dbo = jnp.sum(dr1, axis=0, keepdims=True)
+    dctx = _dot_rhs_T(da_dt, wo_ref[:])  # (nb*seq, H) f32
+    dx_total = dr1  # residual into x
+
+    dq_rows, dk_rows, dv_rows = [], [], []
+    drel_heads = ([jnp.zeros((seq, seq), jnp.float32)
+                   for _ in range(num_heads)] if has_rel else None)
+    for i in range(nb):
+        r0, r1 = i * seq, (i + 1) * seq
+        dq_h, dk_h, dv_h = [], [], []
+        for h in range(num_heads):
+            c0, c1 = h * head_dim, (h + 1) * head_dim
+            p = head_probs(i, h)
+            p_dt = p.astype(dt)
+            dc_dt = dctx[r0:r1, c0:c1].astype(dt)
+            dv_h.append(_rows_T_dot(p_dt, dc_dt))           # (S, hd)
+            dp = _dot_rhs_T(dc_dt, v[r0:r1, c0:c1])         # (S, S) f32
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            if has_rel:
+                drel_heads[h] = drel_heads[h] + ds
+            dss_dt = (ds * scale).astype(dt)
+            dq_h.append(jnp.dot(dss_dt, k[r0:r1, c0:c1],
+                                preferred_element_type=jnp.float32))
+            dk_h.append(_rows_T_dot(dss_dt, q[r0:r1, c0:c1]))
+        dq_rows.append(jnp.concatenate(dq_h, axis=1))
+        dk_rows.append(jnp.concatenate(dk_h, axis=1))
+        dv_rows.append(jnp.concatenate(dv_h, axis=1))
+    dq = jnp.concatenate(dq_rows, axis=0)
+    dk = jnp.concatenate(dk_rows, axis=0)
+    dv = jnp.concatenate(dv_rows, axis=0)
+
+    contribs = {}
+    for name, d, w_ref in (("q", dq, wq_ref), ("k", dk, wk_ref),
+                           ("v", dv, wv_ref)):
+        d_dt = d.astype(dt)
+        contribs["dw" + name] = _rows_T_dot(x, d_dt)
+        contribs["db" + name] = jnp.sum(d, axis=0, keepdims=True)
+        dx_total = dx_total + _dot_rhs_T(d_dt, w_ref[:])
+    dx_ref[:] = dx_total.astype(dt)
+
+    step = pl.program_id(0)
+    pairs = [
+        (dwq_ref, contribs["dwq"]), (dbq_ref, contribs["dbq"]),
+        (dwk_ref, contribs["dwk"]), (dbk_ref, contribs["dbk"]),
+        (dwv_ref, contribs["dwv"]), (dbv_ref, contribs["dbv"]),
+        (dwo_ref, dwo), (dbo_ref, dbo),
+        (dg1_ref, dg1), (dbe1_ref, dbe1),
+        (dw1_ref, dw1), (dbi1_ref, dbi1),
+        (dw2_ref, dw2), (dbi2_ref, dbi2),
+        (dg2_ref, dg2), (dbe2_ref, dbe2),
+    ]
+    if has_rel:
+        pairs.append((drel_ref, jnp.concatenate(drel_heads, axis=0)))
+
+    @pl.when(step == 0)
+    def _init():
+        for ref, val in pairs:
+            ref[:] = val
+
+    @pl.when(step != 0)
+    def _acc():
+        for ref, val in pairs:
+            ref[:] = ref[:] + val
+
+
+def _fused_layer_bwd(x2: jax.Array, mask_bias: jax.Array,
+                     weights: Dict[str, jax.Array],
+                     rel_bias, g2: jax.Array, *, num_heads: int, nb: int,
+                     eps: float, interpret: bool):
+    """→ (dx (B*S, H), {grad per weight}, drel or None)."""
+    BS, H = x2.shape
+    B = mask_bias.shape[0]
+    S = BS // B
+    F = weights["w1"].shape[1]
+    has_rel = rel_bias is not None
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    blocked = pl.BlockSpec((nb * S, H), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    w_specs = [
+        const((H, H)), const((1, H)), const((H, H)), const((1, H)),
+        const((H, H)), const((1, H)), const((H, H)), const((1, H)),
+        const((1, H)), const((1, H)), const((H, F)), const((1, F)),
+        const((F, H)), const((1, H)), const((1, H)), const((1, H)),
+    ]
+    grad_shapes = [
+        ((H, H)), ((1, H)), ((H, H)), ((1, H)), ((H, H)), ((1, H)),
+        ((H, H)), ((1, H)), ((1, H)), ((1, H)), ((H, F)), ((1, F)),
+        ((F, H)), ((1, H)), ((1, H)), ((1, H)),
+    ]
+    out_specs = [blocked] + [const(s) for s in grad_shapes]
+    out_shapes = [jax.ShapeDtypeStruct((BS, H), x2.dtype)] + [
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
+    rel_specs, rel_args = [], []
+    if has_rel:
+        rel_specs = [const((num_heads * S, S))]
+        rel_args = [rel_bias.astype(jnp.float32)]
+        out_specs.append(const((num_heads * S, S)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((num_heads * S, S), jnp.float32))
+
+    kernel = functools.partial(
+        _layer_bwd_kernel, nb=nb, seq=S, num_heads=num_heads,
+        head_dim=H // num_heads, eps=eps, has_rel=has_rel)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // nb,),
+        in_specs=[blocked,
+                  pl.BlockSpec((nb, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  *rel_specs, *w_specs, blocked],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, mask_bias, *rel_args, *[weights[n] for n in _WEIGHT_NAMES], g2)
+    dx = outs[0]
+    dweights = dict(zip(_GRAD_NAMES, outs[1:17]))
+    drel = outs[17] if has_rel else None
+    return dx, dweights, drel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_layer(num_heads: int, nb: int, eps: float, interpret: bool,
+                     has_rel: bool) -> Callable:
+    """custom-vjp fused layer: differentiable w.r.t. x, weights (and
+    rel_bias for MPNet). Residuals are just the inputs — the backward
+    kernel recomputes the forward in VMEM (remat semantics)."""
+
+    if has_rel:
+        @jax.custom_vjp
+        def layer(x, mask_bias, weights, rel_bias):
+            return fused_bert_layer(x, mask_bias, weights,
+                                    num_heads=num_heads, rel_bias=rel_bias,
+                                    nb=nb, eps=eps, interpret=interpret)
+
+        def fwd(x, mask_bias, weights, rel_bias):
+            out = fused_bert_layer(x, mask_bias, weights,
+                                   num_heads=num_heads, rel_bias=rel_bias,
+                                   nb=nb, eps=eps, interpret=interpret)
+            return out, (x, mask_bias, weights, rel_bias)
+
+        def bwd(res, gout):
+            x, mask_bias, weights, rel_bias = res
+            B, S, H = x.shape
+            dx, dw, drel = _fused_layer_bwd(
+                x.reshape(B * S, H), mask_bias, weights, rel_bias,
+                gout.reshape(B * S, H), num_heads=num_heads, nb=nb, eps=eps,
+                interpret=interpret)
+            dw = {k: dw[k].astype(weights[k].dtype) for k in dw}
+            return (dx.reshape(B, S, H), jnp.zeros_like(mask_bias), dw,
+                    drel.astype(rel_bias.dtype))
+
+        layer.defvjp(fwd, bwd)
+        return layer
+
+    @jax.custom_vjp
+    def layer(x, mask_bias, weights):
+        return fused_bert_layer(x, mask_bias, weights, num_heads=num_heads,
+                                nb=nb, eps=eps, interpret=interpret)
+
+    def fwd(x, mask_bias, weights):
+        out = fused_bert_layer(x, mask_bias, weights, num_heads=num_heads,
+                               nb=nb, eps=eps, interpret=interpret)
+        return out, (x, mask_bias, weights)
+
+    def bwd(res, gout):
+        x, mask_bias, weights = res
+        B, S, H = x.shape
+        dx, dw, _ = _fused_layer_bwd(
+            x.reshape(B * S, H), mask_bias, weights, None,
+            gout.reshape(B * S, H), num_heads=num_heads, nb=nb, eps=eps,
+            interpret=interpret)
+        dw = {k: dw[k].astype(weights[k].dtype) for k in dw}
+        return dx.reshape(B, S, H), jnp.zeros_like(mask_bias), dw
+
+    layer.defvjp(fwd, bwd)
+    return layer
+
+
 def layer_weights_from_params(layer_params: Any, hidden_size: int,
                               dtype, arch: str = "bert"
                               ) -> Dict[str, jax.Array]:
@@ -265,8 +597,8 @@ def layer_weights_from_params(layer_params: Any, hidden_size: int,
 
 def fused_encoder_forward(cfg: EncoderConfig, params: Any,
                           input_ids: jax.Array, attention_mask: jax.Array,
-                          *, nb: int = 4,
-                          interpret: bool = False) -> jax.Array:
+                          *, nb: int = 4, interpret: bool = False,
+                          differentiable: bool = False) -> jax.Array:
     """ids/mask → last hidden state (B, S, H) through fused Pallas layers.
 
     Numerically matches ``BertEncoder`` / ``MPNetEncoder`` (deterministic) —
@@ -332,22 +664,39 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
         mask_bias = jnp.pad(mask_bias, ((0, pad), (0, 0)),
                             constant_values=MASK_BIAS)
 
+    diff_layer = None
+    if differentiable:
+        # custom-vjp layer: grads for x/weights (+ rel bias) flow back
+        # through the Pallas backward kernel; grads to the original param
+        # tree compose via XLA autodiff of the reshape/cast in
+        # layer_weights_from_params and the embedding gathers above.
+        diff_layer = _make_diff_layer(cfg.num_heads, nb,
+                                      cfg.layer_norm_eps, interpret,
+                                      rel_bias is not None)
     for i in range(cfg.num_layers):
         w = layer_weights_from_params(enc[f"layer_{i}"], cfg.hidden_size,
                                       dt, arch=cfg.arch)
-        x = fused_bert_layer(x, mask_bias, w, num_heads=cfg.num_heads,
-                             rel_bias=rel_bias, nb=nb,
-                             eps=cfg.layer_norm_eps, interpret=interpret)
+        if differentiable:
+            x = (diff_layer(x, mask_bias, w, rel_bias)
+                 if rel_bias is not None else diff_layer(x, mask_bias, w))
+        else:
+            x = fused_bert_layer(x, mask_bias, w, num_heads=cfg.num_heads,
+                                 rel_bias=rel_bias, nb=nb,
+                                 eps=cfg.layer_norm_eps, interpret=interpret)
     return x[:B]
 
 
 def fused_embed_fn(cfg: EncoderConfig, *, nb: int = 4,
-                   interpret: bool | None = None) -> Callable:
+                   interpret: bool | None = None,
+                   differentiable: bool = False) -> Callable:
     """The fused-path pure forward: (params, ids, mask) → (B, D) embeddings.
 
     Drop-in replacement for ``sentence_encoder.embed_fn`` on the encode
-    path (inference only — no VJP). ``interpret=None`` auto-selects
-    interpreter mode off-TPU so the same code runs in CPU tests.
+    path. With ``differentiable=True`` the layers carry a custom VJP
+    (Pallas backward kernel) so the whole function is ``jax.grad``-able —
+    the fused TRAINING trunk (dropout-free). ``interpret=None``
+    auto-selects interpreter mode off-TPU so the same code runs in CPU
+    tests.
     """
     from qst_tpu.ops.distances import l2_normalize
     from qst_tpu.ops.pooling import POOLERS
@@ -358,7 +707,8 @@ def fused_embed_fn(cfg: EncoderConfig, *, nb: int = 4,
     def fwd(params, input_ids, attention_mask):
         hidden = fused_encoder_forward(cfg, params, input_ids,
                                        attention_mask, nb=nb,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       differentiable=differentiable)
         pooled = POOLERS[cfg.pooling](hidden, attention_mask)
         if cfg.normalize:
             pooled = l2_normalize(pooled)

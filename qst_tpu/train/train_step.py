@@ -37,6 +37,49 @@ from qst_tpu.ops.losses import (
 )
 
 
+def encoder_apply_fn(encoder_cfg: EncoderConfig,
+                     mesh: Optional[Mesh] = None) -> Callable:
+    """→ ``fn(params, flat_ids, flat_mask, dropout_rng) → (N, D)`` — the
+    trainable 4-role encoder forward.
+
+    With ``encoder_cfg.use_fused_layer`` the trunk runs through the fused
+    Pallas layer kernels WITH their custom-VJP backward
+    (ops/fused_layer_pallas.py) — the fully-fused training path. The
+    kernels have no dropout, so this requires dropout disabled; the Flax
+    path (default) keeps reference dropout semantics.
+
+    When ``mesh`` is given alongside the fused path, the encode is wrapped
+    in ``shard_map`` over the data axis: each device runs the Pallas
+    kernels on ITS batch shard (GSPMD has no partitioning rule for custom
+    calls, so without this the compiler could all-gather + replicate);
+    shard_map's transpose psums the replicated-param cotangents — the DP
+    gradient reduction."""
+    if encoder_cfg.use_fused_layer:
+        if (encoder_cfg.hidden_dropout > 0
+                or encoder_cfg.attention_dropout > 0):
+            raise ValueError(
+                "use_fused_layer training requires hidden_dropout = "
+                "attention_dropout = 0 (the fused kernels have no dropout); "
+                "set them to 0 or disable use_fused_layer")
+        from qst_tpu.ops.fused_layer_pallas import fused_embed_fn
+
+        fwd = fused_embed_fn(encoder_cfg, nb=encoder_cfg.fused_nb,
+                             differentiable=True)
+        if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+            from jax.experimental.shard_map import shard_map
+
+            sharded = shard_map(
+                fwd, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_rep=False)
+            return lambda params, ids, mask, rng: sharded(params, ids, mask)
+        return lambda params, ids, mask, rng: fwd(params, ids, mask)
+    model = SentenceEncoderModule(encoder_cfg)
+    return lambda params, ids, mask, rng: model.apply(
+        {"params": params}, ids, mask, deterministic=False,
+        rngs={"dropout": rng})["sentence_embedding"]
+
+
 def loss_from_config(loss_cfg: LossConfig,
                      discr_apply: Optional[Callable] = None) -> Callable:
     """→ ``loss(a, pos, part, neg) -> scalar`` for the configured kind.
@@ -172,7 +215,7 @@ def make_train_step(
     When ``mesh`` is given, the batch axis B is sharded over the data axis
     and params are replicated (XLA derives the grad psum).
     """
-    model = SentenceEncoderModule(encoder_cfg)
+    encode = encoder_apply_fn(encoder_cfg, mesh)
     discr = PairDiscriminator()
     d_reg = loss_cfg.kind == "d_regularized"
 
@@ -180,10 +223,8 @@ def make_train_step(
         four, B, S = input_ids.shape
         flat_ids = input_ids.reshape(four * B, S)
         flat_mask = attention_mask.reshape(four * B, S)
-        out = model.apply(
-            {"params": trainable["encoder"]}, flat_ids, flat_mask,
-            deterministic=False, rngs={"dropout": dropout_rng})
-        emb = out["sentence_embedding"].reshape(four, B, -1)
+        emb = encode(trainable["encoder"], flat_ids, flat_mask,
+                     dropout_rng).reshape(four, B, -1)
         a, pos, part, neg = emb[0], emb[1], emb[2], emb[3]
         discr_apply = (
             lambda x, y: discr.apply({"params": trainable["discr"]}, x, y)
@@ -233,17 +274,16 @@ def make_multi_step(
     launch/host costs as well) — the host prefetch pipeline feeds whole
     super-batches.
     """
-    model = SentenceEncoderModule(encoder_cfg)
+    encode = encoder_apply_fn(encoder_cfg, mesh)
     discr = PairDiscriminator()
     d_reg = loss_cfg.kind == "d_regularized"
 
     def loss_fn(trainable, input_ids, attention_mask, dropout_rng):
         four, B, S = input_ids.shape
-        out = model.apply(
-            {"params": trainable["encoder"]},
-            input_ids.reshape(four * B, S), attention_mask.reshape(four * B, S),
-            deterministic=False, rngs={"dropout": dropout_rng})
-        emb = out["sentence_embedding"].reshape(four, B, -1)
+        emb = encode(trainable["encoder"],
+                     input_ids.reshape(four * B, S),
+                     attention_mask.reshape(four * B, S),
+                     dropout_rng).reshape(four, B, -1)
         a, pos, part, neg = emb[0], emb[1], emb[2], emb[3]
         discr_apply = (
             lambda x, y: discr.apply({"params": trainable["discr"]}, x, y)
@@ -287,17 +327,16 @@ def make_eval_loss_fn(
     """Deterministic (no-dropout) batch loss — the validation-loss kernel
     behind the loss evaluator (reference QuadrupletLossEvaluator,
     evaluators.py:34-127)."""
-    model = SentenceEncoderModule(encoder_cfg)
+    from qst_tpu.models.sentence_encoder import embed_fn
+
+    fwd = embed_fn(encoder_cfg)  # routes through the fused path when flagged
 
     @jax.jit
     def eval_loss(params, input_ids, attention_mask,
                   discr_params=None):
         four, B, S = input_ids.shape
-        out = model.apply({"params": params},
-                          input_ids.reshape(four * B, S),
-                          attention_mask.reshape(four * B, S),
-                          deterministic=True)
-        emb = out["sentence_embedding"].reshape(four, B, -1)
+        emb = fwd(params, input_ids.reshape(four * B, S),
+                  attention_mask.reshape(four * B, S)).reshape(four, B, -1)
         a, pos, part, neg = emb[0], emb[1], emb[2], emb[3]
         discr_apply = None
         if loss_cfg.kind == "d_regularized":

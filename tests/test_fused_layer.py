@@ -125,3 +125,129 @@ class TestGeluErf:
         got = np.asarray(_gelu_erf(x))
         want = np.asarray(jax.nn.gelu(x, approximate=False))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_gelu_grad_matches_autodiff(self):
+        from qst_tpu.ops.fused_layer_pallas import _gelu_grad
+
+        x = jnp.asarray(np.linspace(-5, 5, 1024), jnp.float32)
+        got = np.asarray(_gelu_grad(x))
+        want = np.asarray(jax.vmap(jax.grad(
+            lambda z: jax.nn.gelu(z, approximate=False)))(x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _grad_parity(arch, pad_token_id=0, max_pos=64):
+    cfg = EncoderConfig(
+        name="t", arch=arch, vocab_size=512, hidden_size=128, num_layers=2,
+        num_heads=4, intermediate_size=256, max_position_embeddings=max_pos,
+        max_seq_length=32, dtype="float32", hidden_dropout=0.0,
+        attention_dropout=0.0, pad_token_id=pad_token_id)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, S = 6, 32
+    ids = rng.integers(2, 512, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    ids[2, 10:] = pad_token_id
+    mask[2, 10:] = 0
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    proj = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    ref_fn = embed_fn(cfg)
+    fus_fn = fused_embed_fn(cfg, nb=4, interpret=True, differentiable=True)
+    l1, g1 = jax.value_and_grad(
+        lambda p: jnp.sum(ref_fn(p, ids, mask) @ proj))(params)
+    l2, g2 = jax.value_and_grad(
+        lambda p: jnp.sum(fus_fn(p, ids, mask) @ proj))(params)
+    assert abs(float(l1) - float(l2)) < 1e-4
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g1):
+        ks = jax.tree_util.keystr(k)
+        # atol floor matters: e.g. key-bias grads are mathematically zero
+        # (softmax is invariant to a per-query constant), both paths give
+        # ~1e-8 noise there
+        np.testing.assert_allclose(np.asarray(flat2[ks]), np.asarray(v),
+                                   rtol=2e-3, atol=1e-5, err_msg=ks)
+
+
+class TestFusedLayerBackward:
+    """The custom-VJP Pallas backward: every parameter gradient must match
+    XLA autodiff of the Flax module (reference training hot loop,
+    quadruplet_sentence_transformer.py:42-60)."""
+
+    def test_grad_parity_bert(self):
+        _grad_parity("bert")
+
+    def test_grad_parity_mpnet(self):
+        _grad_parity("mpnet", pad_token_id=1, max_pos=66)
+
+    def test_train_step_through_fused_kernels(self):
+        from qst_tpu.core.config import LossConfig, TrainConfig
+        from qst_tpu.train.train_step import (
+            create_train_state,
+            make_train_step,
+        )
+
+        cfg = _cfg(use_fused_layer=True, fused_nb=4,
+                   hidden_dropout=0.0, attention_dropout=0.0)
+        loss_cfg = LossConfig()
+        train_cfg = TrainConfig(batch_size=4, learning_rate=1e-3,
+                                scheduler="constantlr")
+        state, tx = create_train_state(cfg, train_cfg, jax.random.key(0), 10)
+        step = make_train_step(cfg, loss_cfg, tx)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 4, 32)),
+                          jnp.int32)
+        mask = jnp.ones((4, 4, 32), jnp.int32)
+        losses = []
+        for i in range(3):
+            state, loss = step(state, ids, mask, jax.random.key(i))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], losses  # same batch → loss must drop
+
+    def test_train_step_fused_over_mesh_matches_single_device(self):
+        """DP through shard_map'ed fused kernels: same loss and params as
+        the single-device fused step (grad psum via shard_map transpose)."""
+        from qst_tpu.core.config import LossConfig, TrainConfig
+        from qst_tpu.core.meshes import make_mesh
+        from qst_tpu.train.train_step import (
+            create_train_state,
+            make_train_step,
+        )
+
+        cfg = _cfg(use_fused_layer=True, fused_nb=4,
+                   hidden_dropout=0.0, attention_dropout=0.0)
+        loss_cfg = LossConfig()
+        train_cfg = TrainConfig(batch_size=16, learning_rate=1e-3,
+                                scheduler="constantlr")
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 16, 32)),
+                          jnp.int32)
+        mask = jnp.ones((4, 16, 32), jnp.int32)
+
+        state_m, tx_m = create_train_state(cfg, train_cfg,
+                                           jax.random.key(0), 10)
+        step_m = make_train_step(cfg, loss_cfg, tx_m,
+                                 mesh=make_mesh(data=8, model=1))
+        state_m, loss_m = step_m(state_m, ids, mask, jax.random.key(1))
+
+        state_1, tx_1 = create_train_state(cfg, train_cfg,
+                                           jax.random.key(0), 10)
+        step_1 = make_train_step(cfg, loss_cfg, tx_1)
+        state_1, loss_1 = step_1(state_1, ids, mask, jax.random.key(1))
+
+        assert abs(float(loss_m) - float(loss_1)) < 1e-5
+        qk_m = np.asarray(
+            state_m.params["encoder"]["layer_0"]["attention"]["query"]["kernel"])
+        qk_1 = np.asarray(
+            state_1.params["encoder"]["layer_0"]["attention"]["query"]["kernel"])
+        np.testing.assert_allclose(qk_m, qk_1, atol=1e-5)
+
+    def test_train_with_dropout_rejected(self):
+        from qst_tpu.core.config import LossConfig, TrainConfig
+        from qst_tpu.train.train_step import make_optimizer, make_train_step
+
+        cfg = _cfg(use_fused_layer=True)  # default dropout 0.1
+        tx = make_optimizer(TrainConfig(batch_size=4), 10)
+        with pytest.raises(ValueError, match="dropout"):
+            make_train_step(cfg, LossConfig(), tx)
