@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stopping_delta", type=float, default=0.0)
     add_bool_flag(p, "save_best_model", True)
     add_bool_flag(p, "use_amp", True, "bf16 compute (TPU AMP)")
+    add_bool_flag(p, "use_fused_layer", False,
+                  "train through the fused per-layer Pallas kernels with "
+                  "their custom-VJP backward (ops/fused_layer_pallas.py); "
+                  "forces dropout to 0 — the kernels have none")
     add_bool_flag(p, "use_ir_evaluator", False)
     add_bool_flag(p, "resume", False, "resume from the latest checkpoint")
     p.add_argument("--seed", type=int, default=14)
@@ -141,6 +145,14 @@ def main(argv=None) -> int:
             dtype=None if args.use_amp else "float32")
         tokenizer = tokenizer_from_args(args.vocab_path,
                                         encoder_cfg.vocab_size)
+    if args.use_fused_layer:
+        import dataclasses
+
+        encoder_cfg = dataclasses.replace(
+            encoder_cfg, use_fused_layer=True,
+            hidden_dropout=0.0, attention_dropout=0.0)
+        logger.info("training through fused Pallas layer kernels "
+                    "(dropout forced to 0)")
 
     loss_cfg = LossConfig(
         kind=args.loss_kind, gamma=args.gamma,

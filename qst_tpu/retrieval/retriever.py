@@ -44,6 +44,16 @@ def load_index(path: str, mesh=None) -> Tuple[ExactIndex, dict]:
     return ExactIndex(emb, ids=ids, mesh=mesh), meta
 
 
+def _encode_device(encoder: Any, texts: list):
+    """Encode keeping embeddings on device when the encoder supports it
+    (SentenceEncoder's ``convert_to_numpy=False``); plain ``encode(texts)``
+    encoders (the duck-typed contract) still work."""
+    try:
+        return encoder.encode(texts, convert_to_numpy=False)
+    except TypeError:
+        return encoder.encode(texts)
+
+
 class Retriever:
     """encode-and-search by text.
 
@@ -65,7 +75,10 @@ class Retriever:
 
     def build(self, docs: Sequence[str],
               ids: Optional[Sequence] = None) -> "Retriever":
-        emb = np.asarray(self.encoder.encode(list(docs)))
+        # device-resident handoff: embeddings go encoder → HBM index with
+        # no host round trip (encode(convert_to_numpy=False) keeps every
+        # batch on device; ExactIndex consumes jax arrays directly)
+        emb = _encode_device(self.encoder, list(docs))
         self.index = ExactIndex(emb, ids=list(ids) if ids is not None
                                 else list(range(len(docs))), mesh=self.mesh)
         self._doc_texts = list(docs)
@@ -105,7 +118,7 @@ class Retriever:
                 raise RuntimeError("rerank_k given but no reranker configured")
             if not self._doc_texts:
                 raise RuntimeError("reranking needs doc texts (build() them)")
-        q_emb = np.asarray(self.encoder.encode(list(queries)))
+        q_emb = _encode_device(self.encoder, list(queries))
         fetch_k = max(k, rerank_k) if rerank_k else k
         scores, ids = self.index.search_ids(q_emb, k=fetch_k, score=self.score)
 

@@ -171,6 +171,20 @@ def test_discriminator():
     assert out.shape == (4, 1)
 
 
+def test_encode_device_resident(tiny_params):
+    """convert_to_numpy=False must return a DEVICE array (the encoder →
+    HBM-index handoff path: no device→host→device round trip) with the
+    same values as the numpy path."""
+    enc = SentenceEncoder(TINY, tiny_params, HashTokenizer(TINY.vocab_size))
+    texts = [f"sentence {i}" for i in range(11)]
+    host = enc.encode(texts, batch_size=4)
+    dev = enc.encode(texts, batch_size=4, convert_to_numpy=False)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), host, atol=1e-6)
+    empty = enc.encode([], convert_to_numpy=False)
+    assert isinstance(empty, jax.Array) and empty.shape == (0, TINY.hidden_size)
+
+
 def test_encode_pipeline_batches_matches_single(tiny_params):
     """pipeline_batches=K (scanned multi-batch dispatch) must produce
     exactly the single-batch results, including the non-full tail."""
