@@ -102,6 +102,9 @@ def main() -> None:
     ap.add_argument("--n_eval", type=int, default=600)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--use_fused_layer", action="store_true",
+                    help="train both arms through the fused Pallas layer "
+                    "kernels + custom-VJP backward (dropout forced to 0)")
     args = ap.parse_args()
 
     import jax
@@ -148,6 +151,10 @@ def main() -> None:
     eval_instances = instances[:args.n_eval]
 
     cfg = EncoderConfig.minilm_l6(max_seq_length=32)
+    if args.use_fused_layer:
+        cfg = EncoderConfig.minilm_l6(
+            max_seq_length=32, use_fused_layer=True,
+            hidden_dropout=0.0, attention_dropout=0.0)
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
     init = init_params(cfg, jax.random.key(14))
 

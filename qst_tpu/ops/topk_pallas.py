@@ -64,14 +64,21 @@ def reference_topk(queries: jax.Array, corpus: jax.Array,
 # (see module docstring), applied once per hierarchy level.
 # ---------------------------------------------------------------------------
 
-QB2 = 512   # query rows per grid step: larger blocks re-stream the corpus
-            # fewer times (swept 256/512/1024 on v5e: 81.2/79.2/90.0 ms per
-            # 4096-query call; 1024 regresses on VMEM pressure)
-CB2 = 2048  # corpus rows per grid step (16 buckets); sized with the f32
-            # scores block + double-buffered corpus inside the 16MB VMEM
+QB2 = 512    # query rows per grid step: larger blocks re-stream the corpus
+             # fewer times (swept 256/512/1024 on v5e: 81.2/79.2/90.0 ms per
+             # 4096-query call at CB2=2048; 1024 regressed on VMEM pressure)
+CB2 = 16384  # corpus rows per grid step (128 buckets). Round-2 sweep with
+             # the VMEM limit raised to 110 MB (v5e has 128 MiB physical):
+             # CB2 2048/4096/8192/16384 → 62.7/53.4/51.2/48.3 ms per
+             # 4096-query × 1M-doc bucket-maxima call (~21 ms device after
+             # the ~27 ms relay — near the 16 ms matmul roofline). The f32
+             # scores block is (512, 16384) = 32 MB; with the
+             # double-buffered bf16 corpus the kernel sits at ~58 MB VMEM.
 
 
-_PACK = BUCKET // (CB2 // BUCKET)  # grid steps packed per 128-lane out block
+_PACK = max(1, BUCKET // (CB2 // BUCKET))  # grid steps per 128-lane out
+#   block; at CB2=16384 one step fills a whole block (_PACK=1) and the
+#   merge branch below is dead code that keeps smaller CB2 configs working
 
 
 def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int):
@@ -110,6 +117,11 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
     """Fused scores→128-bucket maxima, (Q, ceil(N/128)) f32."""
     Q, D = queries.shape
     N = corpus.shape[0]
+    if corpus.shape[1] != D:
+        raise ValueError(
+            f"queries dim {D} != corpus dim {corpus.shape[1]}"
+            " (the corpus BlockSpec is sized from the queries, so a"
+            " mismatch would silently score against a sub-slice)")
     q_pad = ((Q + QB2 - 1) // QB2) * QB2
     c_pad = ((N + CB2 - 1) // CB2) * CB2
     queries_p = _pad_to(queries, q_pad)
@@ -134,6 +146,8 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q_pad, n_out_blocks * BUCKET),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(queries_p, corpus_p)
     # packed layout: global bucket b lives at column b directly
@@ -200,6 +214,9 @@ def rescore_buckets(queries: jax.Array, corpus_padded: jax.Array,
     """→ (Q, k·BUCKET) exact scores of each query against its winning
     buckets. ``corpus_padded`` must have rows padded to a BUCKET multiple."""
     Q, D = queries.shape
+    if corpus_padded.shape[1] != D:
+        raise ValueError(
+            f"queries dim {D} != corpus dim {corpus_padded.shape[1]}")
     compute_dtype = (jnp.bfloat16 if corpus_padded.dtype == jnp.bfloat16
                      else jnp.float32)
     q_pad = ((Q + QR - 1) // QR) * QR

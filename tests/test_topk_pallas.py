@@ -125,3 +125,13 @@ def test_index_bf16_dtype(rng):
     assert idx16.embeddings.dtype == jnp.bfloat16
     s, i = idx16.search(queries, k=1)
     np.testing.assert_array_equal(i[:, 0], np.arange(5))
+
+
+def test_dim_mismatch_raises(rng):
+    q = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((300, 64)).astype(np.float32))
+    with pytest.raises(ValueError, match="corpus dim"):
+        pallas_topk_v2(q, c, 3, interpret=True)
+    with pytest.raises(ValueError, match="corpus dim"):
+        rescore_buckets(q, jnp.zeros((384, 64)),
+                        jnp.zeros((4, 3), jnp.int32), 3, interpret=True)
