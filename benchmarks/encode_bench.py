@@ -88,7 +88,39 @@ def main() -> None:
             "mfu": round(mfu, 3)}), flush=True)
         return sps
 
+    def bench_piped(name, fn, batches, sents_per_call, depth=4):
+        """Host-materializing encode with depth-pipelined dispatch (the
+        SentenceEncoder.encode dispatch_depth path): the device→host
+        embedding transfer of batch N overlaps the compute of batches
+        N+1..N+depth−1."""
+        emb = fn(params, *batches[0])
+        _ = np.asarray(emb)
+        t0 = time.perf_counter()
+        pending = []
+        for i in range(args.iters):
+            pending.append(fn(params, *batches[i % len(batches)]))
+            if len(pending) >= depth:
+                _ = np.asarray(pending.pop(0))
+        while pending:
+            _ = np.asarray(pending.pop(0))
+        dt = (time.perf_counter() - t0) / args.iters
+        sps = sents_per_call / dt
+        mfu = sps * fps / V5E_BF16_PEAK
+        results[name] = (sps, mfu, dt)
+        print(json.dumps({
+            "metric": f"encode_{name}", "value": round(sps, 1),
+            "unit": "sents/sec/chip", "ms_per_call": round(dt * 1e3, 1),
+            "mfu": round(mfu, 3)}), flush=True)
+        return sps
+
     chosen = set(args.variants.split(","))
+    if "b2048_piped" in chosen:
+        bench_piped("b2048_piped", jax.jit(embed_fn(cfg)),
+                    make_batches((2048, S)), 2048)
+    if "fused2048_piped" in chosen:
+        ucfg = EncoderConfig.minilm_l6(use_fused_layer=True)
+        bench_piped("fused_b2048_piped", jax.jit(embed_fn(ucfg)),
+                    make_batches((2048, S)), 2048)
     if "b2048" in chosen:
         bench("b2048", jax.jit(embed_fn(cfg)), make_batches((2048, S)), 2048)
     if "many8" in chosen:

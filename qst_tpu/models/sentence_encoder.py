@@ -175,6 +175,7 @@ class SentenceEncoder:
         batch_size: int = 256,
         convert_to_numpy: bool = True,
         pipeline_batches: int = 1,
+        dispatch_depth: int = 4,
     ):
         """Batched encode with shape bucketing (pad batch AND seq length to
         fixed buckets so XLA compiles once per bucket, replacing the
@@ -189,14 +190,33 @@ class SentenceEncoder:
         a jnp array — the corpus-indexing path: embeddings feed the
         HBM-resident index directly with no device→host→device round trip
         (through the dev relay the (N, 384) f32 transfer alone runs at
-        ~40 MB/s each way)."""
+        ~40 MB/s each way).
+
+        ``dispatch_depth`` (host-output path only): keep up to this many
+        encode dispatches in flight before materializing the oldest result,
+        so the device→host embedding transfer of batch N overlaps the
+        compute of batches N+1..N+depth−1 instead of serializing after
+        every call (same pipelining as ``ExactIndex.search_stream``)."""
         if pipeline_batches < 1:
             raise ValueError(
                 f"pipeline_batches must be >= 1, got {pipeline_batches}")
+        if dispatch_depth < 1:
+            raise ValueError(
+                f"dispatch_depth must be >= 1, got {dispatch_depth}")
         seq_buckets = [b for b in self.SEQ_BUCKETS if b <= self.cfg.max_seq_length]
         if not seq_buckets or seq_buckets[-1] != self.cfg.max_seq_length:
             seq_buckets.append(self.cfg.max_seq_length)
         outs: List[np.ndarray] = []
+        pending: List[jax.Array] = []  # in-flight device results
+
+        def push(emb) -> None:
+            if not convert_to_numpy:
+                outs.append(emb)
+                return
+            pending.append(emb)
+            if len(pending) >= dispatch_depth:
+                outs.append(np.asarray(pending.pop(0)))
+
         start0 = 0
         if pipeline_batches > 1:
             K = pipeline_batches
@@ -213,8 +233,7 @@ class SentenceEncoder:
                 mask = mask[:, :S].reshape(K, B, S)
                 emb = self.encode_ids_many(jnp.asarray(ids),
                                            jnp.asarray(mask))
-                emb = emb.reshape(group, -1)
-                outs.append(np.asarray(emb) if convert_to_numpy else emb)
+                push(emb.reshape(group, -1))
             start0 = n_groups * group
         for start in range(start0, len(texts), batch_size):
             chunk = list(texts[start:start + batch_size])
@@ -234,8 +253,9 @@ class SentenceEncoder:
                 mask = np.concatenate([mask, np.zeros((pad, S), mask.dtype)])
                 mask[n:, 0] = 1  # avoid 0/0 in mean pooling for pad rows
             emb = self.encode_ids(jnp.asarray(ids), jnp.asarray(mask))
-            outs.append(np.asarray(emb[:n]) if convert_to_numpy
-                        else emb[:n])
+            push(emb[:n])
+        while pending:
+            outs.append(np.asarray(pending.pop(0)))
         if not outs:
             dim = self.cfg.hidden_size
             zero = np.zeros((0, dim), np.float32)

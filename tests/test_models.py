@@ -195,3 +195,18 @@ def test_encode_pipeline_batches_matches_single(tiny_params):
     np.testing.assert_allclose(piped, base, atol=1e-6)
     with pytest.raises(ValueError):
         enc.encode(texts, pipeline_batches=0)
+
+
+def test_encode_dispatch_depth_pipelines_and_validates(tiny_params):
+    cfg, params = TINY, tiny_params
+    from qst_tpu.models.tokenizer import HashTokenizer
+    from qst_tpu.models.sentence_encoder import SentenceEncoder
+
+    enc = SentenceEncoder(cfg, params, HashTokenizer(vocab_size=cfg.vocab_size))
+    texts = [f"sentence number {i}" for i in range(37)]
+    base = enc.encode(texts, batch_size=8, dispatch_depth=1)
+    piped = enc.encode(texts, batch_size=8, dispatch_depth=4)
+    np.testing.assert_allclose(piped, base, rtol=1e-6)
+    assert piped.shape == (37, cfg.hidden_size)
+    with pytest.raises(ValueError, match="dispatch_depth"):
+        enc.encode(texts, dispatch_depth=0)
