@@ -104,7 +104,7 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--use_fused_layer", action="store_true",
                     help="train both arms through the fused Pallas layer "
-                    "kernels + custom-VJP backward (dropout forced to 0)")
+                    "kernels + custom-VJP backward (in-kernel dropout)")
     args = ap.parse_args()
 
     import jax
@@ -152,9 +152,8 @@ def main() -> None:
 
     cfg = EncoderConfig.minilm_l6(max_seq_length=32)
     if args.use_fused_layer:
-        cfg = EncoderConfig.minilm_l6(
-            max_seq_length=32, use_fused_layer=True,
-            hidden_dropout=0.0, attention_dropout=0.0)
+        cfg = EncoderConfig.minilm_l6(max_seq_length=32,
+                                      use_fused_layer=True)
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
     init = init_params(cfg, jax.random.key(14))
 

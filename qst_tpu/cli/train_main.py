@@ -148,11 +148,9 @@ def main(argv=None) -> int:
     if args.use_fused_layer:
         import dataclasses
 
-        encoder_cfg = dataclasses.replace(
-            encoder_cfg, use_fused_layer=True,
-            hidden_dropout=0.0, attention_dropout=0.0)
+        encoder_cfg = dataclasses.replace(encoder_cfg, use_fused_layer=True)
         logger.info("training through fused Pallas layer kernels "
-                    "(dropout forced to 0)")
+                    "(in-kernel dropout at the configured rates)")
 
     loss_cfg = LossConfig(
         kind=args.loss_kind, gamma=args.gamma,

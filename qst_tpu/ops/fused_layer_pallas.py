@@ -78,21 +78,52 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + erf)
 
 
+def _drop_mask(shape, seed, rate: float, tag: int):
+    """Deterministic dropout keep-mask (f32, pre-scaled by 1/keep).
+
+    Stateless counter-based RNG: murmur3-fmix32 over (element index ⊕ seed
+    ⊕ site tag). Identical bits in compiled and interpret mode and across
+    the forward kernel and the backward kernel's recompute, with no PRNG
+    stream ordering to keep in sync (``pltpu.prng_*`` also has no CPU
+    interpret-mode lowering in this JAX version). ``seed`` is a traced
+    int32 scalar already folded with the grid step; ``tag`` is a static
+    per-site stream id."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    h = rows * jnp.int32(shape[1]) + cols
+    h = h ^ (seed + jnp.int32(tag) * jnp.int32(-1640531527))   # 0x9E3779B9
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(-2048144789)                             # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(-1028477387)                             # 0xC2B2AE35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    u = h & jnp.int32(0x7FFFFFFF)                              # 31 uniform bits
+    keep = u < jnp.int32(int((1.0 - rate) * 2147483647.0))
+    return keep.astype(jnp.float32) * jnp.float32(1.0 / (1.0 - rate))
+
+
+def _step_seed(seed_ref):
+    """Per-grid-step base seed from the (1,) SMEM seed input."""
+    return seed_ref[0] ^ (pl.program_id(0) * jnp.int32(-1640531527))
+
+
 def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
-                  eps: float, has_rel: bool):
-    if has_rel:
-        (x_ref, mask_ref, rel_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-         bv_ref, wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref,
-         bi2_ref, g2_ref, be2_ref, out_ref) = refs
-    else:
-        (x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-         wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref, bi2_ref,
-         g2_ref, be2_ref, out_ref) = refs
-        rel_ref = None
+                  eps: float, has_rel: bool,
+                  attn_drop: float = 0.0, hid_drop: float = 0.0):
+    stoch = attn_drop > 0.0 or hid_drop > 0.0
+    rest = list(refs)
+    x_ref = rest.pop(0)
+    mask_ref = rest.pop(0)
+    seed_ref = rest.pop(0) if stoch else None
+    rel_ref = rest.pop(0) if has_rel else None
+    (wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+     g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref, bi2_ref, g2_ref, be2_ref,
+     out_ref) = rest
     dt = x_ref.dtype
     x = x_ref[:]                                   # (nb*seq, H)
     mask_bias = mask_ref[:]                        # (nb, seq) f32
     scale = 1.0 / math.sqrt(head_dim)
+    seed = _step_seed(seed_ref) if stoch else None
 
     # Block-wide projections: (nb*seq, H) @ (H, H) on the MXU.
     def proj(w_ref, b_ref):
@@ -124,6 +155,9 @@ def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
+            if attn_drop > 0.0:
+                p = p * _drop_mask((seq, seq), seed, attn_drop,
+                                   16 + i * num_heads + h)
             heads.append(jnp.dot(p.astype(dt), vi[:, c0:c1],
                                  preferred_element_type=jnp.float32))
         seq_rows.append(jnp.concatenate(heads, axis=1))
@@ -131,6 +165,8 @@ def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
 
     attn = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     attn = attn + bo_ref[:]
+    if hid_drop > 0.0:
+        attn = attn * _drop_mask(attn.shape, seed, hid_drop, 0)
     y = _layernorm_f32(attn + x.astype(jnp.float32), g1_ref[:], be1_ref[:],
                        eps).astype(dt)
 
@@ -138,6 +174,8 @@ def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
     inter = _gelu_erf(inter + bi1_ref[:]).astype(dt)
     ffn = jnp.dot(inter, w2_ref[:], preferred_element_type=jnp.float32)
     ffn = ffn + bi2_ref[:]
+    if hid_drop > 0.0:
+        ffn = ffn * _drop_mask(ffn.shape, seed, hid_drop, 1)
     out = _layernorm_f32(ffn + y.astype(jnp.float32), g2_ref[:], be2_ref[:],
                          eps)
     out_ref[:] = out.astype(dt)
@@ -145,11 +183,14 @@ def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "nb", "eps", "interpret"))
+    static_argnames=("num_heads", "nb", "eps", "interpret",
+                     "attn_dropout", "hidden_dropout"))
 def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
                      weights: Dict[str, jax.Array], *, num_heads: int,
                      rel_bias: jax.Array | None = None,
                      nb: int = 4, eps: float = 1e-12,
+                     attn_dropout: float = 0.0, hidden_dropout: float = 0.0,
+                     seed: jax.Array | None = None,
                      interpret: bool = False) -> jax.Array:
     """One full BERT/MPNet encoder layer (attention + FFN + layernorms).
 
@@ -162,11 +203,20 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
     rel_bias : optional (num_heads*S, S) f32 per-head additive logit bias —
         MPNet's shared T5-style relative position bias (models/mpnet.py).
     nb : sequences per grid step (VMEM working set scales with nb*S).
+    attn_dropout / hidden_dropout : static dropout rates. When either is
+        > 0 a ``seed`` (shape-(1,) int32) is required and the kernel applies
+        in-kernel counter-based dropout at the reference's three sites
+        (attention probs; attention output and FFN output before their
+        residual layernorms — models/bert.py:105,111,130).
+    seed : (1,) int32 dropout seed (ignored when both rates are 0).
 
     B must be a multiple of ``nb`` (pad upstream — ``fused_encoder_forward``
     does). Returns (B, S, H) in x.dtype.
     """
     B, S, H = x.shape
+    stoch = attn_dropout > 0.0 or hidden_dropout > 0.0
+    if stoch and seed is None:
+        raise ValueError("dropout rates > 0 require a seed")
     if B % nb != 0:
         raise ValueError(f"batch {B} not a multiple of nb={nb}")
     if not interpret and nb % 8 != 0:
@@ -191,11 +241,14 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
         const((1, H)), const((1, H)),      # ln2
     ]
     has_rel = rel_bias is not None
+    seed_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if stoch else [])
+    seed_args = ([jnp.asarray(seed, jnp.int32).reshape(1)] if stoch else [])
     rel_specs = [const((num_heads * S, S))] if has_rel else []
     rel_args = [rel_bias.astype(jnp.float32)] if has_rel else []
     kernel = functools.partial(
         _layer_kernel, nb=nb, seq=S, num_heads=num_heads,
-        head_dim=H // num_heads, eps=eps, has_rel=has_rel)
+        head_dim=H // num_heads, eps=eps, has_rel=has_rel,
+        attn_drop=attn_dropout, hid_drop=hidden_dropout)
     flops_proj = 2 * B * S * H * H * 4
     flops_attn = 2 * B * num_heads * S * S * (H // num_heads) * 2
     flops_ffn = 2 * B * S * H * F * 2
@@ -207,6 +260,7 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, S), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *seed_specs,
             *rel_specs,
             *w_specs,
         ],
@@ -226,7 +280,8 @@ def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, mask_bias, *rel_args, *[weights[n] for n in _WEIGHT_NAMES])
+    )(x2, mask_bias, *seed_args, *rel_args,
+      *[weights[n] for n in _WEIGHT_NAMES])
     return out.reshape(B, S, H)
 
 
@@ -287,23 +342,21 @@ def _dot_rhs_T(a, b):
 
 
 def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
-                      head_dim: int, eps: float, has_rel: bool):
-    n_in = 19 + (1 if has_rel else 0)
-    ins, outs = refs[:n_in], refs[n_in:]
-    if has_rel:
-        (x_ref, mask_ref, rel_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-         bv_ref, wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref,
-         bi2_ref, g2_ref, be2_ref, g_ref) = ins
-        dx_ref = outs[0]
-        grad_refs = outs[1:17]
-        drel_ref = outs[17]
-    else:
-        (x_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-         wo_ref, bo_ref, g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref, bi2_ref,
-         g2_ref, be2_ref, g_ref) = ins
-        dx_ref = outs[0]
-        grad_refs = outs[1:17]
-        drel_ref = None
+                      head_dim: int, eps: float, has_rel: bool,
+                      attn_drop: float = 0.0, hid_drop: float = 0.0):
+    stoch = attn_drop > 0.0 or hid_drop > 0.0
+    n_in = 19 + (1 if has_rel else 0) + (1 if stoch else 0)
+    ins, outs = list(refs[:n_in]), refs[n_in:]
+    x_ref = ins.pop(0)
+    mask_ref = ins.pop(0)
+    seed_ref = ins.pop(0) if stoch else None
+    rel_ref = ins.pop(0) if has_rel else None
+    (wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+     g1_ref, be1_ref, w1_ref, bi1_ref, w2_ref, bi2_ref, g2_ref, be2_ref,
+     g_ref) = ins
+    dx_ref = outs[0]
+    grad_refs = outs[1:17]
+    drel_ref = outs[17] if has_rel else None
     (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
      dg1_ref, dbe1_ref, dw1_ref, dbi1_ref, dw2_ref, dbi2_ref, dg2_ref,
      dbe2_ref) = grad_refs
@@ -313,6 +366,13 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
     mask_bias = mask_ref[:]
     g = g_ref[:].astype(jnp.float32)
     scale = 1.0 / math.sqrt(head_dim)
+    seed = _step_seed(seed_ref) if stoch else None
+    # dropout keep-masks regenerate bit-identically from (seed, site tag) —
+    # see _drop_mask; no state is threaded between forward and backward
+    attn_mask_for = (
+        (lambda i, h: _drop_mask((seq, seq), seed, attn_drop,
+                                 16 + i * num_heads + h))
+        if attn_drop > 0.0 else None)
 
     # ---- forward recompute (mirrors _layer_kernel exactly) ----
     def proj(w_ref, b_ref):
@@ -344,6 +404,8 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
         for h in range(num_heads):
             c0, c1 = h * head_dim, (h + 1) * head_dim
             p = head_probs(i, h)
+            if attn_mask_for is not None:
+                p = p * attn_mask_for(i, h)
             heads.append(jnp.dot(p.astype(dt), v[r0:r1, c0:c1],
                                  preferred_element_type=jnp.float32))
         seq_rows.append(jnp.concatenate(heads, axis=1))
@@ -351,6 +413,10 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
 
     a = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     a = a + bo_ref[:]
+    m_attn_out = m_ffn = None
+    if hid_drop > 0.0:
+        m_attn_out = _drop_mask(a.shape, seed, hid_drop, 0)
+        a = a * m_attn_out
     n1, inv1 = _ln_stats(a + x.astype(jnp.float32), eps)
     y = (n1 * g1_ref[:] + be1_ref[:]).astype(dt)
     ipre = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
@@ -358,13 +424,18 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
     i_dt = _gelu_erf(ipre).astype(dt)
     f = jnp.dot(i_dt, w2_ref[:], preferred_element_type=jnp.float32)
     f = f + bi2_ref[:]
+    if hid_drop > 0.0:
+        m_ffn = _drop_mask(f.shape, seed, hid_drop, 1)
+        f = f * m_ffn
     n2, inv2 = _ln_stats(f + y.astype(jnp.float32), eps)
 
     # ---- backward chain ----
     dr2, dg2, dbe2 = _ln_bwd(g, n2, inv2, g2_ref[:])
-    df_dt = dr2.astype(dt)
+    # through the FFN-output dropout: df is the grad at the PRE-dropout f
+    df = dr2 * m_ffn if m_ffn is not None else dr2
+    df_dt = df.astype(dt)
     dw2 = _rows_T_dot(i_dt, df_dt)
-    dbi2 = jnp.sum(dr2, axis=0, keepdims=True)
+    dbi2 = jnp.sum(df, axis=0, keepdims=True)
     di = _dot_rhs_T(df_dt, w2_ref[:])
     dipre = di * _gelu_grad(ipre)
     dipre_dt = dipre.astype(dt)
@@ -373,11 +444,13 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
     dy = dr2 + _dot_rhs_T(dipre_dt, w1_ref[:])
 
     dr1, dg1, dbe1 = _ln_bwd(dy, n1, inv1, g1_ref[:])
-    da_dt = dr1.astype(dt)
+    # through the attention-output dropout
+    da = dr1 * m_attn_out if m_attn_out is not None else dr1
+    da_dt = da.astype(dt)
     dwo = _rows_T_dot(ctx, da_dt)
-    dbo = jnp.sum(dr1, axis=0, keepdims=True)
+    dbo = jnp.sum(da, axis=0, keepdims=True)
     dctx = _dot_rhs_T(da_dt, wo_ref[:])  # (nb*seq, H) f32
-    dx_total = dr1  # residual into x
+    dx_total = dr1  # residual into x (dropout does not touch the residual)
 
     dq_rows, dk_rows, dv_rows = [], [], []
     drel_heads = ([jnp.zeros((seq, seq), jnp.float32)
@@ -388,10 +461,13 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
         for h in range(num_heads):
             c0, c1 = h * head_dim, (h + 1) * head_dim
             p = head_probs(i, h)
-            p_dt = p.astype(dt)
+            m_p = attn_mask_for(i, h) if attn_mask_for is not None else None
+            p_dt = (p * m_p if m_p is not None else p).astype(dt)
             dc_dt = dctx[r0:r1, c0:c1].astype(dt)
             dv_h.append(_rows_T_dot(p_dt, dc_dt))           # (S, hd)
             dp = _dot_rhs_T(dc_dt, v[r0:r1, c0:c1])         # (S, S) f32
+            if m_p is not None:
+                dp = dp * m_p  # through the probs dropout
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             if has_rel:
                 drel_heads[h] = drel_heads[h] + ds
@@ -443,13 +519,18 @@ def _layer_bwd_kernel(*refs, nb: int, seq: int, num_heads: int,
 def _fused_layer_bwd(x2: jax.Array, mask_bias: jax.Array,
                      weights: Dict[str, jax.Array],
                      rel_bias, g2: jax.Array, *, num_heads: int, nb: int,
-                     eps: float, interpret: bool):
+                     eps: float, interpret: bool,
+                     attn_dropout: float = 0.0, hidden_dropout: float = 0.0,
+                     seed: jax.Array | None = None):
     """→ (dx (B*S, H), {grad per weight}, drel or None)."""
     BS, H = x2.shape
     B = mask_bias.shape[0]
     S = BS // B
     F = weights["w1"].shape[1]
     has_rel = rel_bias is not None
+    stoch = attn_dropout > 0.0 or hidden_dropout > 0.0
+    seed_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if stoch else [])
+    seed_args = ([jnp.asarray(seed, jnp.int32).reshape(1)] if stoch else [])
 
     def const(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -480,20 +561,22 @@ def _fused_layer_bwd(x2: jax.Array, mask_bias: jax.Array,
 
     kernel = functools.partial(
         _layer_bwd_kernel, nb=nb, seq=S, num_heads=num_heads,
-        head_dim=H // num_heads, eps=eps, has_rel=has_rel)
+        head_dim=H // num_heads, eps=eps, has_rel=has_rel,
+        attn_drop=attn_dropout, hid_drop=hidden_dropout)
     outs = pl.pallas_call(
         kernel,
         grid=(B // nb,),
         in_specs=[blocked,
                   pl.BlockSpec((nb, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  *rel_specs, *w_specs, blocked],
+                  *seed_specs, *rel_specs, *w_specs, blocked],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x2, mask_bias, *rel_args, *[weights[n] for n in _WEIGHT_NAMES], g2)
+    )(x2, mask_bias, *seed_args, *rel_args,
+      *[weights[n] for n in _WEIGHT_NAMES], g2)
     dx = outs[0]
     dweights = dict(zip(_GRAD_NAMES, outs[1:17]))
     drel = outs[17] if has_rel else None
@@ -502,59 +585,72 @@ def _fused_layer_bwd(x2: jax.Array, mask_bias: jax.Array,
 
 @functools.lru_cache(maxsize=None)
 def _make_diff_layer(num_heads: int, nb: int, eps: float, interpret: bool,
-                     has_rel: bool) -> Callable:
+                     has_rel: bool, attn_dropout: float = 0.0,
+                     hidden_dropout: float = 0.0) -> Callable:
     """custom-vjp fused layer: differentiable w.r.t. x, weights (and
     rel_bias for MPNet). Residuals are just the inputs — the backward
-    kernel recomputes the forward in VMEM (remat semantics)."""
+    kernel recomputes the forward in VMEM (remat semantics). With dropout
+    rates > 0 the layer takes a trailing ``seed`` (1,) int32 argument; the
+    backward kernel regenerates the same counter-based masks from it."""
+    import numpy as np
 
-    if has_rel:
+    stoch = attn_dropout > 0.0 or hidden_dropout > 0.0
+
+    def run_fwd(x, mask_bias, weights, rel_bias, seed):
+        return fused_bert_layer(
+            x, mask_bias, weights, num_heads=num_heads, rel_bias=rel_bias,
+            nb=nb, eps=eps, attn_dropout=attn_dropout,
+            hidden_dropout=hidden_dropout, seed=seed, interpret=interpret)
+
+    def run_bwd(res, gout):
+        x, mask_bias, weights, rel_bias, seed = res
+        B, S, H = x.shape
+        dx, dw, drel = _fused_layer_bwd(
+            x.reshape(B * S, H), mask_bias, weights, rel_bias,
+            gout.reshape(B * S, H), num_heads=num_heads, nb=nb, eps=eps,
+            interpret=interpret, attn_dropout=attn_dropout,
+            hidden_dropout=hidden_dropout, seed=seed)
+        dw = {k: dw[k].astype(weights[k].dtype) for k in dw}
+        dseed = (np.zeros((1,), dtype=jax.dtypes.float0),) if stoch else ()
+        if has_rel:
+            return (dx.reshape(B, S, H), jnp.zeros_like(mask_bias), dw,
+                    drel.astype(rel_bias.dtype), *dseed)
+        return (dx.reshape(B, S, H), jnp.zeros_like(mask_bias), dw, *dseed)
+
+    if has_rel and stoch:
+        @jax.custom_vjp
+        def layer(x, mask_bias, weights, rel_bias, seed):
+            return run_fwd(x, mask_bias, weights, rel_bias, seed)
+
+        def fwd(x, mask_bias, weights, rel_bias, seed):
+            return (run_fwd(x, mask_bias, weights, rel_bias, seed),
+                    (x, mask_bias, weights, rel_bias, seed))
+    elif has_rel:
         @jax.custom_vjp
         def layer(x, mask_bias, weights, rel_bias):
-            return fused_bert_layer(x, mask_bias, weights,
-                                    num_heads=num_heads, rel_bias=rel_bias,
-                                    nb=nb, eps=eps, interpret=interpret)
+            return run_fwd(x, mask_bias, weights, rel_bias, None)
 
         def fwd(x, mask_bias, weights, rel_bias):
-            out = fused_bert_layer(x, mask_bias, weights,
-                                   num_heads=num_heads, rel_bias=rel_bias,
-                                   nb=nb, eps=eps, interpret=interpret)
-            return out, (x, mask_bias, weights, rel_bias)
+            return (run_fwd(x, mask_bias, weights, rel_bias, None),
+                    (x, mask_bias, weights, rel_bias, None))
+    elif stoch:
+        @jax.custom_vjp
+        def layer(x, mask_bias, weights, seed):
+            return run_fwd(x, mask_bias, weights, None, seed)
 
-        def bwd(res, gout):
-            x, mask_bias, weights, rel_bias = res
-            B, S, H = x.shape
-            dx, dw, drel = _fused_layer_bwd(
-                x.reshape(B * S, H), mask_bias, weights, rel_bias,
-                gout.reshape(B * S, H), num_heads=num_heads, nb=nb, eps=eps,
-                interpret=interpret)
-            dw = {k: dw[k].astype(weights[k].dtype) for k in dw}
-            return (dx.reshape(B, S, H), jnp.zeros_like(mask_bias), dw,
-                    drel.astype(rel_bias.dtype))
+        def fwd(x, mask_bias, weights, seed):
+            return (run_fwd(x, mask_bias, weights, None, seed),
+                    (x, mask_bias, weights, None, seed))
+    else:
+        @jax.custom_vjp
+        def layer(x, mask_bias, weights):
+            return run_fwd(x, mask_bias, weights, None, None)
 
-        layer.defvjp(fwd, bwd)
-        return layer
+        def fwd(x, mask_bias, weights):
+            return (run_fwd(x, mask_bias, weights, None, None),
+                    (x, mask_bias, weights, None, None))
 
-    @jax.custom_vjp
-    def layer(x, mask_bias, weights):
-        return fused_bert_layer(x, mask_bias, weights, num_heads=num_heads,
-                                nb=nb, eps=eps, interpret=interpret)
-
-    def fwd(x, mask_bias, weights):
-        out = fused_bert_layer(x, mask_bias, weights, num_heads=num_heads,
-                               nb=nb, eps=eps, interpret=interpret)
-        return out, (x, mask_bias, weights)
-
-    def bwd(res, gout):
-        x, mask_bias, weights = res
-        B, S, H = x.shape
-        dx, dw, _ = _fused_layer_bwd(
-            x.reshape(B * S, H), mask_bias, weights, None,
-            gout.reshape(B * S, H), num_heads=num_heads, nb=nb, eps=eps,
-            interpret=interpret)
-        dw = {k: dw[k].astype(weights[k].dtype) for k in dw}
-        return dx.reshape(B, S, H), jnp.zeros_like(mask_bias), dw
-
-    layer.defvjp(fwd, bwd)
+    layer.defvjp(fwd, run_bwd)
     return layer
 
 
@@ -598,13 +694,20 @@ def layer_weights_from_params(layer_params: Any, hidden_size: int,
 def fused_encoder_forward(cfg: EncoderConfig, params: Any,
                           input_ids: jax.Array, attention_mask: jax.Array,
                           *, nb: int = 4, interpret: bool = False,
-                          differentiable: bool = False) -> jax.Array:
+                          differentiable: bool = False,
+                          dropout_rng: jax.Array | None = None) -> jax.Array:
     """ids/mask → last hidden state (B, S, H) through fused Pallas layers.
 
     Numerically matches ``BertEncoder`` / ``MPNetEncoder`` (deterministic) —
     embeddings, and for MPNet the shared relative-position bias table, stay
     in XLA (gathers XLA already handles well); the transformer layers run
     through ``fused_bert_layer``.
+
+    ``dropout_rng``: when given AND the config has non-zero dropout rates,
+    the forward is the TRAINING forward — embedding dropout runs in XLA
+    (models/bert.py:51 / models/mpnet.py:121 semantics) and the per-layer
+    attention-probs / attention-output / FFN-output dropouts run inside the
+    Pallas kernels from per-layer integer seeds derived from the rng.
     """
     if cfg.arch not in ("bert", "mpnet"):
         raise ValueError(
@@ -613,6 +716,10 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
     enc = params["encoder"]
     B, S = input_ids.shape
     rel_bias = None
+    train = (dropout_rng is not None
+             and (cfg.hidden_dropout > 0 or cfg.attention_dropout > 0))
+    attn_drop = cfg.attention_dropout if train else 0.0
+    hid_drop = cfg.hidden_dropout if train else 0.0
 
     if cfg.arch == "mpnet":
         from qst_tpu.models.mpnet import (
@@ -656,6 +763,18 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
     mask_bias = jnp.where(attention_mask > 0, 0.0, MASK_BIAS)
     mask_bias = mask_bias.astype(jnp.float32)
 
+    seeds = None
+    if train:
+        # embedding dropout stays in XLA (same site as the Flax modules);
+        # per-layer int32 seeds drive the in-kernel counter-based masks
+        emb_key, seed_key = jax.random.split(dropout_rng)
+        if cfg.hidden_dropout > 0:
+            keepp = 1.0 - cfg.hidden_dropout
+            keep = jax.random.bernoulli(emb_key, keepp, x.shape)
+            x = (x * keep.astype(x.dtype) / keepp).astype(dt)
+        seeds = jax.random.randint(
+            seed_key, (cfg.num_layers, 1), 0, 2**31 - 1, dtype=jnp.int32)
+
     # Pad the batch to a multiple of nb; pad rows are fully masked (their
     # softmax degenerates to uniform — finite — and they are sliced off).
     pad = (-B) % nb
@@ -672,31 +791,41 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
         # layer_weights_from_params and the embedding gathers above.
         diff_layer = _make_diff_layer(cfg.num_heads, nb,
                                       cfg.layer_norm_eps, interpret,
-                                      rel_bias is not None)
+                                      rel_bias is not None,
+                                      attn_drop, hid_drop)
     for i in range(cfg.num_layers):
         w = layer_weights_from_params(enc[f"layer_{i}"], cfg.hidden_size,
                                       dt, arch=cfg.arch)
+        seed_i = (seeds[i],) if train else ()
         if differentiable:
-            x = (diff_layer(x, mask_bias, w, rel_bias)
-                 if rel_bias is not None else diff_layer(x, mask_bias, w))
+            x = (diff_layer(x, mask_bias, w, rel_bias, *seed_i)
+                 if rel_bias is not None
+                 else diff_layer(x, mask_bias, w, *seed_i))
         else:
             x = fused_bert_layer(x, mask_bias, w, num_heads=cfg.num_heads,
                                  rel_bias=rel_bias, nb=nb,
-                                 eps=cfg.layer_norm_eps, interpret=interpret)
+                                 eps=cfg.layer_norm_eps,
+                                 attn_dropout=attn_drop,
+                                 hidden_dropout=hid_drop,
+                                 seed=seeds[i] if train else None,
+                                 interpret=interpret)
     return x[:B]
 
 
 def fused_embed_fn(cfg: EncoderConfig, *, nb: int = 4,
                    interpret: bool | None = None,
-                   differentiable: bool = False) -> Callable:
+                   differentiable: bool = False,
+                   with_dropout: bool = False) -> Callable:
     """The fused-path pure forward: (params, ids, mask) → (B, D) embeddings.
 
     Drop-in replacement for ``sentence_encoder.embed_fn`` on the encode
     path. With ``differentiable=True`` the layers carry a custom VJP
     (Pallas backward kernel) so the whole function is ``jax.grad``-able —
-    the fused TRAINING trunk (dropout-free). ``interpret=None``
-    auto-selects interpreter mode off-TPU so the same code runs in CPU
-    tests.
+    the fused TRAINING trunk. With ``with_dropout=True`` the returned
+    function takes a trailing ``dropout_rng`` argument and applies the
+    config's dropout rates (in-kernel counter-based masks; reference
+    training semantics). ``interpret=None`` auto-selects interpreter mode
+    off-TPU so the same code runs in CPU tests.
     """
     from qst_tpu.ops.distances import l2_normalize
     from qst_tpu.ops.pooling import POOLERS
@@ -704,14 +833,18 @@ def fused_embed_fn(cfg: EncoderConfig, *, nb: int = 4,
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 
-    def fwd(params, input_ids, attention_mask):
+    def fwd(params, input_ids, attention_mask, dropout_rng=None):
         hidden = fused_encoder_forward(cfg, params, input_ids,
                                        attention_mask, nb=nb,
                                        interpret=interpret,
-                                       differentiable=differentiable)
+                                       differentiable=differentiable,
+                                       dropout_rng=dropout_rng)
         pooled = POOLERS[cfg.pooling](hidden, attention_mask)
         if cfg.normalize:
             pooled = l2_normalize(pooled)
         return pooled
 
-    return fwd
+    if with_dropout:
+        return fwd
+    return lambda params, input_ids, attention_mask: fwd(
+        params, input_ids, attention_mask)

@@ -44,9 +44,10 @@ def encoder_apply_fn(encoder_cfg: EncoderConfig,
 
     With ``encoder_cfg.use_fused_layer`` the trunk runs through the fused
     Pallas layer kernels WITH their custom-VJP backward
-    (ops/fused_layer_pallas.py) — the fully-fused training path. The
-    kernels have no dropout, so this requires dropout disabled; the Flax
-    path (default) keeps reference dropout semantics.
+    (ops/fused_layer_pallas.py) — the fully-fused training path. Non-zero
+    dropout rates run as in-kernel counter-based dropout (reference
+    training semantics; masks regenerate bit-identically in the backward
+    kernel's recompute).
 
     When ``mesh`` is given alongside the fused path, the encode is wrapped
     in ``shard_map`` over the data axis: each device runs the Pallas
@@ -55,24 +56,37 @@ def encoder_apply_fn(encoder_cfg: EncoderConfig,
     shard_map's transpose psums the replicated-param cotangents — the DP
     gradient reduction."""
     if encoder_cfg.use_fused_layer:
-        if (encoder_cfg.hidden_dropout > 0
-                or encoder_cfg.attention_dropout > 0):
-            raise ValueError(
-                "use_fused_layer training requires hidden_dropout = "
-                "attention_dropout = 0 (the fused kernels have no dropout); "
-                "set them to 0 or disable use_fused_layer")
         from qst_tpu.ops.fused_layer_pallas import fused_embed_fn
 
+        stochastic = (encoder_cfg.hidden_dropout > 0
+                      or encoder_cfg.attention_dropout > 0)
         fwd = fused_embed_fn(encoder_cfg, nb=encoder_cfg.fused_nb,
-                             differentiable=True)
+                             differentiable=True, with_dropout=stochastic)
         if mesh is not None and mesh.shape[DATA_AXIS] > 1:
             from jax.experimental.shard_map import shard_map
 
+            if stochastic:
+                # every device derives ITS mask stream from (rng, its batch
+                # shard): fold the data-axis index into the key inside the
+                # shard so dropout is iid across shards
+                def fwd_shard(params, ids, mask, rng):
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index(DATA_AXIS))
+                    return fwd(params, ids, mask, rng)
+
+                sharded = shard_map(
+                    fwd_shard, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    out_specs=P(DATA_AXIS), check_rep=False)
+                return lambda params, ids, mask, rng: sharded(
+                    params, ids, mask, rng)
             sharded = shard_map(
                 fwd, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
                 out_specs=P(DATA_AXIS), check_rep=False)
             return lambda params, ids, mask, rng: sharded(params, ids, mask)
+        if stochastic:
+            return fwd
         return lambda params, ids, mask, rng: fwd(params, ids, mask)
     model = SentenceEncoderModule(encoder_cfg)
     return lambda params, ids, mask, rng: model.apply(

@@ -243,11 +243,192 @@ class TestFusedLayerBackward:
             state_1.params["encoder"]["layer_0"]["attention"]["query"]["kernel"])
         np.testing.assert_allclose(qk_m, qk_1, atol=1e-5)
 
-    def test_train_with_dropout_rejected(self):
+    def test_train_step_through_fused_kernels_with_dropout(self):
+        """Reference-default dropout (0.1) now runs INSIDE the kernels:
+        the step must execute, learn on a repeated batch, and be seeded
+        (same rng → same loss)."""
         from qst_tpu.core.config import LossConfig, TrainConfig
-        from qst_tpu.train.train_step import make_optimizer, make_train_step
+        from qst_tpu.train.train_step import (
+            create_train_state,
+            make_train_step,
+        )
 
-        cfg = _cfg(use_fused_layer=True)  # default dropout 0.1
-        tx = make_optimizer(TrainConfig(batch_size=4), 10)
-        with pytest.raises(ValueError, match="dropout"):
-            make_train_step(cfg, LossConfig(), tx)
+        cfg = _cfg(use_fused_layer=True, fused_nb=4)  # default dropout 0.1
+        assert cfg.hidden_dropout > 0
+        train_cfg = TrainConfig(batch_size=4, learning_rate=1e-3,
+                                scheduler="constantlr")
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 4, 32)),
+                          jnp.int32)
+        mask = jnp.ones((4, 4, 32), jnp.int32)
+
+        # the step donates its state, so build a fresh identical state per
+        # probe (same rng key → same init)
+        def fresh():
+            state, tx = create_train_state(cfg, train_cfg,
+                                           jax.random.key(0), 10)
+            return state, make_train_step(cfg, LossConfig(), tx)
+
+        state, step = fresh()
+        _, l1 = step(state, ids, mask, jax.random.key(7))
+        state, step = fresh()
+        _, l2 = step(state, ids, mask, jax.random.key(7))
+        assert float(l1) == float(l2)  # seeded determinism
+        state, step = fresh()
+        _, l3 = step(state, ids, mask, jax.random.key(8))
+        assert float(l3) != float(l1)  # different rng → different masks
+        state, step = fresh()
+        losses = []
+        for i in range(5):
+            state, loss = step(state, ids, mask, jax.random.key(i))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], losses
+
+
+class TestInKernelDropout:
+    """The counter-based in-kernel dropout (fused_layer_pallas._drop_mask)."""
+
+    def test_mask_statistics_and_determinism(self):
+        from qst_tpu.ops.fused_layer_pallas import _drop_mask
+
+        seed = jnp.int32(1234)
+        m = np.asarray(jax.jit(
+            lambda s: _drop_mask((256, 384), s, 0.1, 3))(seed))
+        drop_frac = (m == 0).mean()
+        assert abs(drop_frac - 0.1) < 0.01, drop_frac
+        np.testing.assert_allclose(m[m > 0], 1.0 / 0.9, rtol=1e-6)
+        m2 = np.asarray(jax.jit(
+            lambda s: _drop_mask((256, 384), s, 0.1, 3))(seed))
+        np.testing.assert_array_equal(m, m2)  # same (seed, tag) → same bits
+        m3 = np.asarray(jax.jit(
+            lambda s: _drop_mask((256, 384), s, 0.1, 4))(seed))
+        assert (m != m3).any()  # different site tag → different stream
+
+    def test_forward_dropout_changes_output_and_is_seeded(self):
+        from qst_tpu.ops.fused_layer_pallas import fused_embed_fn
+
+        cfg = _cfg()  # default dropout 0.1
+        params = init_params(cfg, jax.random.key(0))
+        ids, mask = _batch(cfg, 8, 32)
+        fwd = fused_embed_fn(cfg, nb=4, interpret=True, with_dropout=True)
+        det = fwd(params, ids, mask)                     # no rng → eval mode
+        ref = fused_embed_fn(cfg, nb=4, interpret=True)(params, ids, mask)
+        np.testing.assert_allclose(np.asarray(det), np.asarray(ref))
+        d1 = fwd(params, ids, mask, jax.random.key(1))
+        d1b = fwd(params, ids, mask, jax.random.key(1))
+        d2 = fwd(params, ids, mask, jax.random.key(2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+        assert not np.allclose(np.asarray(d1), np.asarray(det))
+        assert not np.allclose(np.asarray(d1), np.asarray(d2))
+        # dropout perturbs but does not destroy the representation
+        cos = (np.sum(np.asarray(d1) * np.asarray(det), axis=-1)
+               / np.linalg.norm(np.asarray(d1), axis=-1)
+               / np.linalg.norm(np.asarray(det), axis=-1))
+        assert cos.min() > 0.8, cos.min()
+
+    def test_backward_regenerates_forward_masks(self):
+        """Gradient check THROUGH dropout against a pure-jnp twin that
+        reuses the kernel's own mask generator (same seed → same bits), so
+        XLA autodiff of the twin is the exact analytic gradient. Passing
+        requires the backward kernel to regenerate bit-identical masks and
+        to route them correctly through every chain-rule site."""
+        from qst_tpu.ops.fused_layer_pallas import (
+            _drop_mask,
+            _gelu_erf,
+            _layernorm_f32,
+            _make_diff_layer,
+            layer_weights_from_params,
+        )
+
+        cfg = _cfg(num_layers=1)
+        nh, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        A_DROP, H_DROP = 0.15, 0.2
+        params = init_params(cfg, jax.random.key(3))
+        w = layer_weights_from_params(
+            params["encoder"]["layer_0"], cfg.hidden_size, jnp.float32)
+        nb = 4  # == B → single grid step, so in-kernel seed == seed[0]
+        layer = _make_diff_layer(cfg.num_heads, nb, cfg.layer_norm_eps,
+                                 True, False, A_DROP, H_DROP)
+        rng = np.random.default_rng(5)
+        B, S, H = 4, 32, cfg.hidden_size
+        x = jnp.asarray(rng.standard_normal((B, S, H)), jnp.float32) * 0.3
+        mask_bias = jnp.zeros((B, S), jnp.float32)
+        seed = jnp.asarray([99], jnp.int32)
+        seed_val = jnp.int32(99)
+        probe = jnp.asarray(rng.standard_normal((B, S, H)), jnp.float32)
+
+        def ref_layer(xx, ww):
+            """jnp twin of _layer_kernel with dropout, single grid step."""
+            xf = xx.reshape(B * S, H)
+            q = xf @ ww["wq"] + ww["bq"]
+            k = xf @ ww["wk"] + ww["bk"]
+            v = xf @ ww["wv"] + ww["bv"]
+            rows = []
+            for i in range(B):
+                r = slice(i * S, (i + 1) * S)
+                heads = []
+                for h in range(nh):
+                    c = slice(h * hd, (h + 1) * hd)
+                    s = (q[r, c] @ k[r, c].T) / np.sqrt(hd)
+                    p = jax.nn.softmax(s, axis=-1)
+                    p = p * _drop_mask((S, S), seed_val, A_DROP,
+                                       16 + i * nh + h)
+                    heads.append(p @ v[r, c])
+                rows.append(jnp.concatenate(heads, axis=1))
+            ctx = jnp.concatenate(rows, axis=0)
+            a = ctx @ ww["wo"] + ww["bo"]
+            a = a * _drop_mask(a.shape, seed_val, H_DROP, 0)
+            y = _layernorm_f32(a + xf, ww["ln1_g"], ww["ln1_b"],
+                               cfg.layer_norm_eps)
+            inter = _gelu_erf(y @ ww["w1"] + ww["b1"])
+            f = inter @ ww["w2"] + ww["b2"]
+            f = f * _drop_mask(f.shape, seed_val, H_DROP, 1)
+            out = _layernorm_f32(f + y, ww["ln2_g"], ww["ln2_b"],
+                                 cfg.layer_norm_eps)
+            return out.reshape(B, S, H)
+
+        out_k = layer(x, mask_bias, w, seed)
+        out_r = ref_layer(x, w)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   atol=2e-5, rtol=1e-4)
+
+        def f_k(xx, ww):
+            return jnp.vdot(layer(xx, mask_bias, ww, seed), probe)
+
+        def f_r(xx, ww):
+            return jnp.vdot(ref_layer(xx, ww), probe)
+
+        gx_k, gw_k = jax.grad(f_k, argnums=(0, 1))(x, w)
+        gx_r, gw_r = jax.grad(f_r, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                                   atol=5e-4, rtol=5e-3)
+        for name in gw_r:
+            np.testing.assert_allclose(
+                np.asarray(gw_k[name]), np.asarray(gw_r[name]),
+                atol=5e-4, rtol=5e-3, err_msg=name)
+
+    def test_mpnet_dropout_grads_finite_and_seeded(self):
+        """has_rel + stochastic variant: seeded determinism and finite
+        grads through the rel-bias custom-VJP path."""
+        from qst_tpu.ops.fused_layer_pallas import fused_embed_fn
+
+        cfg = _cfg(arch="mpnet", pad_token_id=1, max_position_embeddings=66)
+        params = init_params(cfg, jax.random.key(4))
+        ids, mask = _batch(cfg, 8, 32, seed=4)
+        fwd = fused_embed_fn(cfg, nb=4, interpret=True,
+                             differentiable=True, with_dropout=True)
+        d1 = fwd(params, ids, mask, jax.random.key(1))
+        d1b = fwd(params, ids, mask, jax.random.key(1))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+
+        def loss(p):
+            return jnp.sum(fwd(p, ids, mask, jax.random.key(1)) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # rel-bias table must receive gradient through the kernel
+        rel_g = np.asarray(
+            g["encoder"]["relative_attention_bias"]["embedding"])
+        assert np.abs(rel_g).sum() > 0
