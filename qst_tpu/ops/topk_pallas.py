@@ -76,45 +76,42 @@ CB2 = 16384  # corpus rows per grid step (128 buckets). Round-2 sweep with
              # double-buffered bf16 corpus the kernel sits at ~58 MB VMEM.
 
 
-_PACK = max(1, BUCKET // (CB2 // BUCKET))  # grid steps per 128-lane out
-#   block; at CB2=16384 one step fills a whole block (_PACK=1) and the
-#   merge branch below is dead code that keeps smaller CB2 configs working
+# Each grid step emits its own (QB2, CB2/BUCKET) slice of the bucket-maxima
+# output — no cross-step merging, so CB2 must cover at least one full
+# 128-lane block (CB2 >= BUCKET**2; asserted in bucket_maxima).
 
 
-def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int):
-    ct = pl.program_id(1)
+def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int,
+                       corpus_outer: bool, qb2: int, cb2: int):
+    # corpus_outer: corpus blocks on the OUTER grid axis — each (cb2, D)
+    # corpus block is fetched once and reused across every query block
+    # (measured ±2% vs query-outer at 1M×384: the kernel is matmul-bound,
+    # not stream-bound — both orders are exposed for sweeps)
+    ct = pl.program_id(0 if corpus_outer else 1)
     s = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (QB2, CB2)
-    base = ct * CB2
+    )  # (qb2, cb2)
+    base = ct * cb2
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     s = jnp.where(col < n_real, s, -jnp.inf)
-    nb = CB2 // BUCKET
-    bmax = jnp.max(s.reshape(QB2, nb, BUCKET), axis=2)  # (QB2, nb)
-    # Output blocks are 128 lanes wide (Mosaic tiling); _PACK consecutive
-    # grid steps share one block, each writing its own nb-column slice —
-    # no -inf filler columns, 1/_PACK the HBM write traffic. The slice
-    # offset is branch-free: select via lane-index mask.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QB2, BUCKET), 1)
-    slot = (ct % _PACK) * nb
-    tiled = jnp.concatenate([bmax] * _PACK, axis=1)  # (QB2, 128) periodic
-    mine = (lane >= slot) & (lane < slot + nb)
-
-    @pl.when(ct % _PACK == 0)
-    def _init():  # first writer of the block: fill everything
-        out_ref[:] = jnp.where(mine, tiled, -jnp.inf)
-
-    @pl.when(ct % _PACK != 0)
-    def _merge():
-        out_ref[:] = jnp.where(mine, tiled, out_ref[:])
+    nb = cb2 // BUCKET
+    bmax = jnp.max(s.reshape(qb2, nb, BUCKET), axis=2)  # (qb2, nb)
+    out_ref[:] = bmax
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "corpus_outer",
+                                             "qb2", "cb2"))
 def bucket_maxima(queries: jax.Array, corpus: jax.Array,
-                  interpret: bool = False) -> jax.Array:
-    """Fused scores→128-bucket maxima, (Q, ceil(N/128)) f32."""
+                  interpret: bool = False,
+                  corpus_outer: bool = False,
+                  qb2: int = QB2, cb2: int = CB2) -> jax.Array:
+    """Fused scores→128-bucket maxima, (Q, ceil(N/128)) f32.
+
+    ``qb2``/``cb2`` override the default (query, corpus) block rows for
+    sweeps; cb2 must be ≥ BUCKET² so one grid step fills one 128-lane
+    output block."""
     Q, D = queries.shape
     N = corpus.shape[0]
     if corpus.shape[1] != D:
@@ -122,29 +119,40 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
             f"queries dim {D} != corpus dim {corpus.shape[1]}"
             " (the corpus BlockSpec is sized from the queries, so a"
             " mismatch would silently score against a sub-slice)")
-    q_pad = ((Q + QB2 - 1) // QB2) * QB2
-    c_pad = ((N + CB2 - 1) // CB2) * CB2
+    if cb2 % (BUCKET * BUCKET) != 0:
+        raise ValueError(f"cb2 must be a multiple of {BUCKET**2}, got {cb2}")
+    QB2_, CB2_ = qb2, cb2
+    q_pad = ((Q + QB2_ - 1) // QB2_) * QB2_
+    c_pad = ((N + CB2_ - 1) // CB2_) * CB2_
     queries_p = _pad_to(queries, q_pad)
     corpus_p = _pad_to(corpus, c_pad)
     compute_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
     queries_p = queries_p.astype(compute_dtype)
     corpus_p = corpus_p.astype(compute_dtype)
-    n_qb, n_ct = q_pad // QB2, c_pad // CB2
-    n_out_blocks = -(-n_ct // _PACK)
+    n_qb, n_ct = q_pad // QB2_, c_pad // CB2_
 
+    nbk = CB2_ // BUCKET  # bucket-maxima columns per grid step
+    if corpus_outer:
+        grid = (n_ct, n_qb)
+        q_map = lambda ct, qb: (qb, 0)
+        c_map = lambda ct, qb: (ct, 0)
+        o_map = lambda ct, qb: (qb, ct)
+    else:
+        grid = (n_qb, n_ct)
+        q_map = lambda qb, ct: (qb, 0)
+        c_map = lambda qb, ct: (ct, 0)
+        o_map = lambda qb, ct: (qb, ct)
     out = pl.pallas_call(
-        functools.partial(_bucket_max_kernel, n_real=N),
-        grid=(n_qb, n_ct),
+        functools.partial(_bucket_max_kernel, n_real=N,
+                          corpus_outer=corpus_outer, qb2=QB2_, cb2=CB2_),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((QB2, D), lambda qb, ct: (qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB2, D), lambda qb, ct: (ct, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB2_, D), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB2_, D), c_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((QB2, BUCKET),
-                               lambda qb, ct: (qb, ct // _PACK),
+        out_specs=pl.BlockSpec((QB2_, nbk), o_map,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad, n_out_blocks * BUCKET),
+        out_shape=jax.ShapeDtypeStruct((q_pad, c_pad // BUCKET),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),

@@ -245,8 +245,9 @@ class ExactIndex:
 
         backend: "auto" picks the fused Pallas pipeline
         (qst_tpu.ops.topk_pallas.pallas_topk_v2 — bucket-maxima kernel +
-        dynamic-DMA rescore; 46k QPS vs the scan's 28k at Q=4096/1M bf16
-        docs, measured) on TPU for single-device cos/dot searches over large
+        dynamic-DMA rescore; 54.7k QPS per-call / 115.8k sustained via
+        :meth:`search_stream` vs the scan's 28k at Q=4096/1M bf16 docs,
+        measured) on TPU for single-device cos/dot searches over large
         corpora, else the XLA bucket-max scan. "pallas" / "xla" force one.
         """
         s, i = self._device_search(queries, k, score, tile, backend)

@@ -101,6 +101,48 @@ class Retriever:
         self.score = meta.get("score", self.score)
         return self
 
+    def search_stream(self, query_batches, k: int = 10, depth: int = 4,
+                      return_texts: bool = False):
+        """Pipelined text→results serving loop: yields one result list per
+        incoming batch of query texts, in input order.
+
+        Each batch is encoded on device (no host round trip) and its search
+        dispatched immediately; up to ``depth`` rounds stay in flight, so
+        result materialization overlaps the following batches' compute —
+        the end-to-end analogue of ``ExactIndex.search_stream``. Yields
+        the same per-query ``(doc_id, score[, text])`` rows as
+        :meth:`search` (reranking is not applied on the streaming path)."""
+        if self.index is None:
+            raise RuntimeError("no index built or loaded")
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        pos_of = {i: p for p, i in enumerate(self.index.ids)}
+
+        def finish(item):
+            s_dev, i_dev = item
+            scores, idx = np.asarray(s_dev), np.asarray(i_dev)
+            rows = []
+            for qi in range(idx.shape[0]):
+                row = []
+                for j, s in zip(idx[qi], scores[qi]):
+                    doc_id = self.index.ids[int(j)]
+                    entry = (doc_id, float(s))
+                    if return_texts and self._doc_texts:
+                        entry = (*entry, self._doc_texts[pos_of[doc_id]])
+                    row.append(entry)
+                rows.append(row)
+            return rows
+
+        pending: List = []
+        for queries in query_batches:
+            q_emb = _encode_device(self.encoder, list(queries))
+            pending.append(self.index._device_search(
+                q_emb, k, self.score, 131072, "auto"))
+            if len(pending) >= depth:
+                yield finish(pending.pop(0))
+        while pending:
+            yield finish(pending.pop(0))
+
     def search(self, queries: Sequence[str], k: int = 10,
                return_texts: bool = False, rerank_k: int = 0):
         """→ list per query of (doc_id, score[, text]) tuples.

@@ -106,3 +106,19 @@ def _saved_without_docs(tmp_path):
 
 
 from helpers import hash_embed  # noqa: E402  (used by the helper above)
+
+
+def test_search_stream_matches_search():
+    r = Retriever(MockEncoder()).build(DOCS, ids=[f"d{i}" for i in range(5)])
+    batches = [DOCS[:2], DOCS[2:4], DOCS[4:]]
+    got = list(r.search_stream(iter(batches), k=3, depth=2,
+                               return_texts=True))
+    assert len(got) == 3
+    for batch, rows in zip(batches, got):
+        want = r.search(batch, k=3, return_texts=True)
+        assert rows == want
+    with pytest.raises(ValueError, match="depth"):
+        list(r.search_stream([DOCS[:1]], depth=0))
+    r2 = Retriever(MockEncoder())
+    with pytest.raises(RuntimeError, match="no index"):
+        list(r2.search_stream([DOCS[:1]]))
