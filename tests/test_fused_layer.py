@@ -432,3 +432,36 @@ class TestInKernelDropout:
         rel_g = np.asarray(
             g["encoder"]["relative_attention_bias"]["embedding"])
         assert np.abs(rel_g).sum() > 0
+
+    def test_train_step_fused_dropout_over_mesh(self):
+        """DP shard_map + in-kernel dropout: per-shard rng folding must give
+        a finite, seeded-deterministic step."""
+        from qst_tpu.core.config import LossConfig, TrainConfig
+        from qst_tpu.core.meshes import make_mesh
+        from qst_tpu.train.train_step import (
+            create_train_state,
+            make_train_step,
+        )
+
+        cfg = _cfg(use_fused_layer=True, fused_nb=4)  # dropout 0.1
+        train_cfg = TrainConfig(batch_size=16, learning_rate=1e-3,
+                                scheduler="constantlr")
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 16, 32)),
+                          jnp.int32)
+        mask = jnp.ones((4, 16, 32), jnp.int32)
+
+        def run(key):
+            state, tx = create_train_state(cfg, train_cfg,
+                                           jax.random.key(0), 10)
+            step = make_train_step(cfg, LossConfig(), tx,
+                                   mesh=make_mesh(data=8, model=1))
+            _, loss = step(state, ids, mask, key)
+            return float(loss)
+
+        l1 = run(jax.random.key(3))
+        l2 = run(jax.random.key(3))
+        l3 = run(jax.random.key(4))
+        assert np.isfinite(l1)
+        assert l1 == l2          # same key -> same shard mask streams
+        assert l1 != l3
