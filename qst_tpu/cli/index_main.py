@@ -49,6 +49,23 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False, help="encode through the fused per-layer "
                    "Pallas kernel (TPU inference path)")
 
+    s = sub.add_parser("serve", help="serve a persisted index over HTTP "
+                       "(POST /search, POST /encode, GET /healthz; "
+                       "dynamic micro-batching across concurrent requests)")
+    s.add_argument("--index_dir", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--max_batch", type=int, default=256)
+    s.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="dynamic-batching straggler window")
+    s.add_argument("--encoder_preset", default="minilm-l6")
+    s.add_argument("--vocab_path", default=None)
+    s.add_argument("--model_path", default=None)
+    s.add_argument("--seed", type=int, default=14)
+    s.add_argument("--use_fused_layer", action=argparse.BooleanOptionalAction,
+                   default=False, help="encode through the fused per-layer "
+                   "Pallas kernel (TPU inference path)")
+
     q = sub.add_parser("query", help="search a persisted index")
     q.add_argument("--index_dir", required=True)
     q.add_argument("--queries", nargs="+", required=True)
@@ -103,6 +120,27 @@ def main(argv=None) -> int:
         retriever.save(args.index_dir)
         dump_args(args, args.index_dir)
         logger.info("indexed %d docs into %s", len(docs), args.index_dir)
+        return 0
+
+    if args.command == "serve":
+        from qst_tpu.serve import RetrievalServer
+
+        retriever = Retriever(_encoder(args)).load(args.index_dir)
+        server = RetrievalServer(
+            retriever, host=args.host, port=args.port,
+            max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3)
+        port = server.start()
+        logger.info("serving %d docs on http://%s:%d (POST /search, "
+                    "POST /encode, GET /healthz)",
+                    retriever.index.n_docs, args.host, port)
+        try:
+            import threading
+
+            threading.Event().wait()  # run until interrupted
+        except KeyboardInterrupt:
+            logger.info("shutting down")
+        finally:
+            server.stop()
         return 0
 
     retriever = Retriever(_encoder(args)).load(args.index_dir)

@@ -1,0 +1,135 @@
+"""Dynamic micro-batching for single-device serving.
+
+The TPU serving shape is throughput-batched: one big device call beats many
+small ones (a Q=1 search costs ~the same wall clock as Q=64 —
+benchmarks/RESULTS.md latency table — and every dispatch pays the
+host↔device round trip). Concurrent callers therefore enqueue work items
+and a single collector thread drains the queue into one batched call of up
+to ``max_batch`` items, waiting at most ``max_wait_s`` after the first item
+for stragglers — the standard dynamic-batching policy of production model
+servers, applied to the retrieval stack (capability beyond the reference,
+which serves nothing; its closest analogue is the chunked encode loop in
+ir_evauation_script.py:130-131).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, List, Optional, Sequence
+
+
+class _Item:
+    """Future-like handle for one submitted payload."""
+
+    __slots__ = ("payload", "event", "_result", "error")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self._result = None
+        self.error: Optional[BaseException] = None
+
+    def result(self) -> Any:
+        """Block until the batched call resolves; raise its error if any."""
+        self.event.wait()
+        if self.error is not None:
+            raise self.error
+        return self._result
+
+
+class DynamicBatcher:
+    """Aggregate concurrent submissions into batched calls.
+
+    Parameters
+    ----------
+    batch_fn : ``batch_fn(payloads: list) -> list`` — one result per payload,
+        same order. Called on the collector thread only, so a single-device
+        JAX backend needs no extra locking.
+    max_batch : drain at most this many items per call.
+    max_wait_s : after the first item arrives, wait at most this long for
+        more before dispatching (latency bound under low load).
+    """
+
+    def __init__(self, batch_fn: Callable[[List[Any]], Sequence[Any]],
+                 max_batch: int = 64, max_wait_s: float = 0.005):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_wait_s < 0:
+            raise ValueError(f"max_wait_s must be >= 0, got {max_wait_s}")
+        self._batch_fn = batch_fn
+        self._max_batch = max_batch
+        self._max_wait_s = max_wait_s
+        self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._closed = False
+        self._thread.start()
+
+    def submit_async(self, payload) -> _Item:
+        """Enqueue without blocking; call ``.result()`` on the returned
+        handle. Submitting a whole request's payloads before waiting lets
+        them share one batch."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        item = _Item(payload)
+        self._queue.put(item)
+        return item
+
+    def submit(self, payload) -> Any:
+        """Block until the batched result for ``payload`` is available."""
+        return self.submit_async(payload).result()
+
+    def close(self) -> None:
+        """Stop the collector thread (idempotent)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "DynamicBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------
+    def _drain(self, first: _Item) -> List[_Item]:
+        import time
+
+        items = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(items) < self._max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:         # close() sentinel: put it back and stop
+                self._queue.put(None)
+                break
+            items.append(nxt)
+        return items
+
+    def _run(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            items = self._drain(first)
+            try:
+                results = self._batch_fn([it.payload for it in items])
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"batch_fn returned {len(results)} results for "
+                        f"{len(items)} payloads")
+                for it, res in zip(items, results):
+                    it._result = res
+            except BaseException as e:  # propagate to every waiter
+                for it in items:
+                    it.error = e
+            finally:
+                for it in items:
+                    it.event.set()

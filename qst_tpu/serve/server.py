@@ -1,0 +1,156 @@
+"""Minimal HTTP serving front end for the retrieval stack.
+
+Stdlib-only (zero-egress container: no FastAPI/uvicorn) threading HTTP
+server over a :class:`qst_tpu.retrieval.Retriever`:
+
+- ``POST /search``   ``{"queries": [...], "k": 10, "return_texts": false}``
+  → ``{"results": [[[doc_id, score(, text)], ...], ...]}``
+- ``POST /encode``   ``{"texts": [...]}`` → ``{"embeddings": [[...], ...]}``
+- ``GET  /healthz``  → ``{"ok": true, "n_docs": N}``
+
+Concurrent requests are funneled through a :class:`DynamicBatcher` per
+endpoint, so many small clients share one batched device call (the TPU
+serving shape — see batcher.py). Serving capability beyond the reference
+(which ships none); the response schema mirrors `Retriever.search` rows.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from qst_tpu.serve.batcher import DynamicBatcher
+
+
+class RetrievalServer:
+    """Wrap a built/loaded ``Retriever`` in an HTTP server.
+
+    Call :meth:`start` (non-blocking; returns the bound port), then
+    :meth:`stop`. ``k_max`` caps per-request k (one compiled search shape
+    per k — a hostile/misconfigured client should not trigger unbounded
+    recompilation).
+    """
+
+    def __init__(self, retriever: Any, host: str = "127.0.0.1",
+                 port: int = 0, max_batch: int = 256,
+                 max_wait_s: float = 0.005, k_max: int = 128):
+        if retriever.index is None:
+            raise ValueError("retriever has no index (build() or load() it)")
+        self.retriever = retriever
+        self._host, self._port = host, port
+        self._k_max = k_max
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        # one batcher per endpoint: payloads are (query, k, return_texts)
+        # tuples for search, raw texts for encode
+        self._search_batcher = DynamicBatcher(
+            self._search_batch, max_batch=max_batch, max_wait_s=max_wait_s)
+        self._encode_batcher = DynamicBatcher(
+            self._encode_batch, max_batch=max_batch, max_wait_s=max_wait_s)
+
+    # ---------------- batched device calls (collector threads) ----------
+    def _search_batch(self, payloads):
+        # one device call for the union of queries; k = max requested,
+        # trimmed per payload afterwards
+        queries = [p[0] for p in payloads]
+        k = max(p[1] for p in payloads)
+        want_texts = any(p[2] for p in payloads)
+        rows = self.retriever.search(queries, k=k, return_texts=want_texts)
+        out = []
+        for (q, kk, rt), row in zip(payloads, rows):
+            row = row[:kk]
+            if want_texts and not rt:
+                row = [r[:2] for r in row]
+            out.append(row)
+        return out
+
+    def _encode_batch(self, texts):
+        emb = np.asarray(self.retriever.encoder.encode(list(texts)))
+        return [emb[i].tolist() for i in range(len(texts))]
+
+    # ---------------- lifecycle ----------------------------------------
+    def start(self) -> int:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _reply(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {"ok": True,
+                                      "n_docs": server.retriever.index.n_docs})
+                else:
+                    self._reply(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._reply(400, {"error": "invalid JSON"})
+                    return
+                try:
+                    if self.path == "/search":
+                        self._reply(200, server._handle_search(req))
+                    elif self.path == "/encode":
+                        self._reply(200, server._handle_encode(req))
+                    else:
+                        self._reply(404, {"error": "unknown path"})
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:   # device/runtime failure
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        self._search_batcher.close()
+        self._encode_batcher.close()
+
+    # ---------------- request handlers (server threads) -----------------
+    def _handle_search(self, req) -> dict:
+        queries, k, rt = self._validate_search(req)
+        # enqueue every query BEFORE waiting so one request's queries share
+        # a batch (and interleave with concurrent requests')
+        futs = [self._search_batcher.submit_async((q, k, rt))
+                for q in queries]
+        return {"results": [f.result() for f in futs]}
+
+    def _handle_encode(self, req) -> dict:
+        texts = req.get("texts")
+        if (not isinstance(texts, list) or not texts
+                or not all(isinstance(t, str) for t in texts)):
+            raise ValueError("'texts' must be a non-empty list of strings")
+        futs = [self._encode_batcher.submit_async(t) for t in texts]
+        return {"embeddings": [f.result() for f in futs]}
+
+    def _validate_search(self, req) -> Tuple[list, int, bool]:
+        queries = req.get("queries")
+        if (not isinstance(queries, list) or not queries
+                or not all(isinstance(q, str) for q in queries)):
+            raise ValueError("'queries' must be a non-empty list of strings")
+        k = req.get("k", 10)
+        if not isinstance(k, int) or not 1 <= k <= self._k_max:
+            raise ValueError(f"'k' must be an int in [1, {self._k_max}]")
+        return queries, k, bool(req.get("return_texts", False))

@@ -1,0 +1,199 @@
+"""Serving layer: dynamic micro-batching + the HTTP front end.
+
+CPU tests with the hash-embedding mock encoder (the reference's
+mock-LLM/mock-image pattern, SURVEY.md §4); the underlying device path is
+the same Retriever/ExactIndex stack exercised on real TPU elsewhere.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from qst_tpu.retrieval import Retriever
+from qst_tpu.serve import DynamicBatcher, RetrievalServer
+
+from helpers import hash_embed
+
+
+class MockEncoder:
+    def encode(self, texts, **kw):
+        return hash_embed(texts)
+
+
+DOCS = [f"document number {i} about subject {i % 7}" for i in range(40)]
+
+
+# ---------------------------------------------------------------------------
+# DynamicBatcher
+# ---------------------------------------------------------------------------
+
+def test_batcher_batches_concurrent_submissions():
+    calls = []
+
+    def batch_fn(items):
+        calls.append(len(items))
+        return [x * 2 for x in items]
+
+    with DynamicBatcher(batch_fn, max_batch=64, max_wait_s=0.05) as b:
+        results = [None] * 16
+        def worker(i):
+            results[i] = b.submit(i)
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert results == [i * 2 for i in range(16)]
+    # fewer calls than submissions = batching happened
+    assert sum(calls) == 16 and len(calls) < 16, calls
+
+
+def test_batcher_respects_max_batch():
+    sizes = []
+
+    def batch_fn(items):
+        sizes.append(len(items))
+        time.sleep(0.01)  # let the queue fill while a batch runs
+        return items
+
+    with DynamicBatcher(batch_fn, max_batch=4, max_wait_s=0.05) as b:
+        futs = [b.submit_async(i) for i in range(10)]
+        assert [f.result() for f in futs] == list(range(10))
+    assert max(sizes) <= 4, sizes
+
+
+def test_batcher_propagates_errors_and_recovers():
+    def batch_fn(items):
+        if any(x < 0 for x in items):
+            raise RuntimeError("negative payload")
+        return items
+
+    b = DynamicBatcher(batch_fn, max_batch=1, max_wait_s=0.0)
+    with pytest.raises(RuntimeError, match="negative"):
+        b.submit(-1)
+    assert b.submit(5) == 5  # collector thread survived the error
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(1)
+    b.close()  # idempotent
+
+
+def test_batcher_validation():
+    with pytest.raises(ValueError, match="max_batch"):
+        DynamicBatcher(lambda x: x, max_batch=0)
+    with pytest.raises(ValueError, match="max_wait_s"):
+        DynamicBatcher(lambda x: x, max_wait_s=-1)
+
+    def bad(items):
+        return items[:-1]
+
+    with DynamicBatcher(bad, max_batch=1, max_wait_s=0.0) as b:
+        with pytest.raises(RuntimeError, match="results for"):
+            b.submit(1)
+
+
+# ---------------------------------------------------------------------------
+# RetrievalServer
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def server():
+    r = Retriever(MockEncoder()).build(DOCS, ids=[f"d{i}"
+                                                  for i in range(len(DOCS))])
+    srv = RetrievalServer(r, max_wait_s=0.002)
+    port = srv.start()
+    yield srv, port, r
+    srv.stop()
+
+
+def _post(port, path, obj, timeout=10):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def test_server_search_matches_retriever(server):
+    srv, port, r = server
+    queries = ["subject 3 things", "document number 5"]
+    got = _post(port, "/search", {"queries": queries, "k": 4,
+                                  "return_texts": True})["results"]
+    want = r.search(queries, k=4, return_texts=True)
+    for g_row, w_row in zip(got, want):
+        assert [tuple(g) for g in g_row] == [
+            (d, pytest.approx(s), t) for d, s, t in w_row]
+
+
+def test_server_healthz_and_encode(server):
+    srv, port, r = server
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10) as resp:
+        h = json.loads(resp.read())
+    assert h == {"ok": True, "n_docs": len(DOCS)}
+    emb = _post(port, "/encode", {"texts": ["a", "b"]})["embeddings"]
+    want = hash_embed(["a", "b"])
+    np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-6)
+
+
+def test_server_concurrent_requests_batched(server):
+    srv, port, r = server
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = _post(port, "/search",
+                           {"queries": [f"subject {i % 7}"], "k": 2})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, res in enumerate(results):
+        want = r.search([f"subject {i % 7}"], k=2)
+        assert res["results"][0] == [[d, pytest.approx(s)]
+                                     for d, s in want[0]]
+
+
+def test_server_bad_requests(server):
+    srv, port, r = server
+    for path, body in [("/search", {"queries": []}),
+                       ("/search", {"queries": ["x"], "k": 0}),
+                       ("/search", {"queries": ["x"], "k": 10_000}),
+                       ("/search", {"queries": [1, 2]}),
+                       ("/encode", {"texts": "not a list"})]:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(port, path, body)
+        assert exc_info.value.code == 400, (path, body)
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(port, "/nope", {})
+    assert exc_info.value.code == 404
+
+
+def test_server_requires_built_index():
+    with pytest.raises(ValueError, match="no index"):
+        RetrievalServer(Retriever(MockEncoder()))
+
+
+def test_server_from_saved_index(tmp_path):
+    """Persistence → serve integration: the index CLI's serve path loads a
+    saved index and serves it."""
+    r = Retriever(MockEncoder()).build(DOCS, ids=list(range(len(DOCS))))
+    r.save(str(tmp_path / "idx"))
+    r2 = Retriever(MockEncoder()).load(str(tmp_path / "idx"))
+    srv = RetrievalServer(r2, max_wait_s=0.001)
+    port = srv.start()
+    try:
+        got = _post(port, "/search", {"queries": ["subject 2"], "k": 3,
+                                      "return_texts": True})["results"][0]
+        want = r.search(["subject 2"], k=3, return_texts=True)[0]
+        assert [tuple(g) for g in got] == [
+            (d, pytest.approx(s), t) for d, s, t in want]
+    finally:
+        srv.stop()
