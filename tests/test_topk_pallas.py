@@ -135,3 +135,21 @@ def test_dim_mismatch_raises(rng):
     with pytest.raises(ValueError, match="corpus dim"):
         rescore_buckets(q, jnp.zeros((384, 64)),
                         jnp.zeros((4, 3), jnp.int32), 3, interpret=True)
+
+
+def test_bucket_maxima_grid_order_and_blocks(rng):
+    """corpus_outer / qb2 / cb2 knobs must not change results."""
+    corpus = rng.standard_normal((3000, 64)).astype(np.float32)
+    queries = rng.standard_normal((40, 64)).astype(np.float32)
+    base = bucket_maxima(jnp.asarray(queries), jnp.asarray(corpus),
+                         interpret=True)
+    for kw in (dict(corpus_outer=True),
+               dict(qb2=16),
+               dict(corpus_outer=True, qb2=16)):
+        got = bucket_maxima(jnp.asarray(queries), jnp.asarray(corpus),
+                            interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-5, err_msg=str(kw))
+    with pytest.raises(ValueError, match="cb2"):
+        bucket_maxima(jnp.asarray(queries), jnp.asarray(corpus),
+                      interpret=True, cb2=2048)
