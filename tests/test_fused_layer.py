@@ -465,3 +465,34 @@ class TestInKernelDropout:
         assert np.isfinite(l1)
         assert l1 == l2          # same key -> same shard mask streams
         assert l1 != l3
+
+    def test_multi_step_scan_through_fused_dropout_kernels(self):
+        """K-step lax.scan driver composed with the Pallas custom-VJP layer
+        + in-kernel dropout: the scan must compile, learn, and remain
+        seeded-deterministic."""
+        from qst_tpu.core.config import LossConfig, TrainConfig
+        from qst_tpu.train.train_step import (
+            create_train_state,
+            make_multi_step,
+        )
+
+        cfg = _cfg(use_fused_layer=True, fused_nb=4)  # dropout 0.1
+        tcfg = TrainConfig(batch_size=4, learning_rate=1e-3,
+                           scheduler="constantlr")
+        K = 4
+        rng = np.random.default_rng(0)
+        one = rng.integers(1, cfg.vocab_size, (1, 4, 4, 32))
+        ids = jnp.asarray(np.repeat(one, K, axis=0), jnp.int32)  # same batch
+        mask = jnp.ones((K, 4, 4, 32), jnp.int32)
+        keys = jax.random.split(jax.random.key(1), K)
+
+        def run():
+            state, tx = create_train_state(cfg, tcfg, jax.random.key(0), 50)
+            multi = make_multi_step(cfg, LossConfig(), tx, K)
+            state, losses = multi(state, ids, mask, keys)
+            return np.asarray(losses)
+
+        l1, l2 = run(), run()
+        np.testing.assert_array_equal(l1, l2)
+        assert np.isfinite(l1).all()
+        assert l1[-1] < l1[0]  # same-ish data stream → loss drops
