@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_bool_flag(p, "use_fused_layer", False,
                   "train through the fused per-layer Pallas kernels with "
                   "their custom-VJP backward (ops/fused_layer_pallas.py); "
-                  "forces dropout to 0 — the kernels have none")
+                  "dropout runs in-kernel at the configured rates")
     add_bool_flag(p, "use_ir_evaluator", False)
     add_bool_flag(p, "resume", False, "resume from the latest checkpoint")
     p.add_argument("--seed", type=int, default=14)

@@ -134,10 +134,11 @@ class EncoderConfig:
     use_flash_attention: bool = False
     remat: bool = False  # jax.checkpoint each layer: recompute activations
     #                      in backward, trading FLOPs for memory
-    # Encode/inference path: run each transformer layer as one fused Pallas
-    # kernel (attention probs + layernorms + GELU never reach HBM) — the
-    # round-2 answer to MiniLM being HBM-bandwidth-bound (RESULTS.md).
-    # bert arch only; training keeps the Flax path (the kernel has no VJP).
+    # Run each transformer layer as one fused Pallas kernel (attention
+    # probs + layernorms + GELU never reach HBM) — the round-2 answer to
+    # MiniLM being HBM-bandwidth-bound (RESULTS.md). bert + mpnet archs;
+    # training runs through the kernels' custom-VJP backward with in-kernel
+    # dropout at the configured rates.
     use_fused_layer: bool = False
     fused_nb: int = 8  # sequences per fused-kernel grid step (VMEM budget;
     #                    multiples of 8 — Mosaic block sublane constraint)

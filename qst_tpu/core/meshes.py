@@ -73,8 +73,17 @@ def initialize_distributed(
         jax.distributed.initialize()
         return True
     if num_processes is None:
+        if NUM_PROCESSES_ENV not in os.environ:
+            raise ValueError(
+                f"{COORDINATOR_ENV} is set but {NUM_PROCESSES_ENV} is not; "
+                f"set {NUM_PROCESSES_ENV} and {PROCESS_ID_ENV} too (or use "
+                f"{COORDINATOR_ENV}=auto for single-controller discovery)")
         num_processes = int(os.environ[NUM_PROCESSES_ENV])
     if process_id is None:
+        if PROCESS_ID_ENV not in os.environ:
+            raise ValueError(
+                f"{COORDINATOR_ENV} is set but {PROCESS_ID_ENV} is not; "
+                f"set {NUM_PROCESSES_ENV} and {PROCESS_ID_ENV} too")
         process_id = int(os.environ[PROCESS_ID_ENV])
     jax.distributed.initialize(coordinator_address,
                                num_processes=num_processes,

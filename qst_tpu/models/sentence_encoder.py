@@ -158,8 +158,18 @@ class SentenceEncoder:
 
             kbatch_sh = NamedSharding(mesh, P(None, DATA_AXIS))
             many_in = (None, kbatch_sh, kbatch_sh)
+        # the many-forward's output has an extra leading K axis: shift a
+        # NamedSharding's spec right by one so the BATCH dim (not K) keeps
+        # the single-batch partitioning
+        many_out = out_sharding
+        if out_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if isinstance(out_sharding, NamedSharding):
+                many_out = NamedSharding(out_sharding.mesh,
+                                         P(None, *out_sharding.spec))
         self._jitted_many = jax.jit(self._many, in_shardings=many_in,
-                                    out_shardings=out_sharding)
+                                    out_shardings=many_out)
 
     def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         return self._jitted(self.params, input_ids, attention_mask)

@@ -23,9 +23,10 @@ Semantics identical to ``qst_tpu.models.bert.BertLayer`` /
 carries a custom VJP (``_make_diff_layer``): a second Pallas kernel
 recomputes the forward in VMEM (remat semantics — only layer inputs are
 saved) and produces dx plus every weight gradient, accumulated across
-grid steps in constant-index f32 output blocks. Dropout is not supported
-inside the kernels — train with ``hidden_dropout = attention_dropout = 0``
-or keep the Flax path. Replaces the transformer forward/backward the
+grid steps in constant-index f32 output blocks. Non-zero dropout rates run
+as in-kernel counter-based dropout (``_drop_mask``) at the reference's
+three sites, with the backward recompute regenerating bit-identical
+masks. Replaces the transformer forward/backward the
 reference consumes from torch CUDA kernels via sentence-transformers
 (reference ir_evauation_script.py:130-131, training hot loop
 quadruplet_sentence_transformer.py:42-60).
@@ -188,7 +189,7 @@ def _layer_kernel(*refs, nb: int, seq: int, num_heads: int, head_dim: int,
 def fused_bert_layer(x: jax.Array, mask_bias: jax.Array,
                      weights: Dict[str, jax.Array], *, num_heads: int,
                      rel_bias: jax.Array | None = None,
-                     nb: int = 4, eps: float = 1e-12,
+                     nb: int = 8, eps: float = 1e-12,
                      attn_dropout: float = 0.0, hidden_dropout: float = 0.0,
                      seed: jax.Array | None = None,
                      interpret: bool = False) -> jax.Array:
@@ -693,7 +694,7 @@ def layer_weights_from_params(layer_params: Any, hidden_size: int,
 
 def fused_encoder_forward(cfg: EncoderConfig, params: Any,
                           input_ids: jax.Array, attention_mask: jax.Array,
-                          *, nb: int = 4, interpret: bool = False,
+                          *, nb: int = 8, interpret: bool = False,
                           differentiable: bool = False,
                           dropout_rng: jax.Array | None = None) -> jax.Array:
     """ids/mask → last hidden state (B, S, H) through fused Pallas layers.
@@ -812,7 +813,7 @@ def fused_encoder_forward(cfg: EncoderConfig, params: Any,
     return x[:B]
 
 
-def fused_embed_fn(cfg: EncoderConfig, *, nb: int = 4,
+def fused_embed_fn(cfg: EncoderConfig, *, nb: int = 8,
                    interpret: bool | None = None,
                    differentiable: bool = False,
                    with_dropout: bool = False) -> Callable:

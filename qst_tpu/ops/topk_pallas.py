@@ -16,7 +16,9 @@ The north-star retrieval pipeline (BASELINE.json), ``pallas_topk_v2``:
 4. one final narrow top-k over (Q, k·128).
 
 Measured on one v5e through the relay (Q=4096, 1M×384 bf16 docs, k=10):
-46.1k QPS at 88.8 ms/call vs the XLA bucket-max scan's 28.1k at 145.9 ms.
+54.7k QPS per-call / 115.8k sustained with depth-4 pipelined dispatch
+(ExactIndex.search_stream) vs the XLA bucket-max scan's ~28k —
+benchmarks/RESULTS.md.
 
 Exactness argument (same as qst_tpu.retrieval.index.exact_topk): if e is one
 of the top-k elements, at most k−1 buckets can have a max greater than e's
@@ -71,14 +73,20 @@ CB2 = 16384  # corpus rows per grid step (128 buckets). Round-2 sweep with
              # the VMEM limit raised to 110 MB (v5e has 128 MiB physical):
              # CB2 2048/4096/8192/16384 → 62.7/53.4/51.2/48.3 ms per
              # 4096-query × 1M-doc bucket-maxima call (~21 ms device after
-             # the ~27 ms relay — near the 16 ms matmul roofline). The f32
-             # scores block is (512, 16384) = 32 MB; with the
-             # double-buffered bf16 corpus the kernel sits at ~58 MB VMEM.
+             # the ~27 ms relay — near the 16 ms matmul roofline; the
+             # sub-16384 points were measured on the since-retired
+             # packed-merge kernel and today's cb2 override only accepts
+             # multiples of 16384). The f32 scores block is
+             # (512, 16384) = 32 MB; with the double-buffered bf16 corpus
+             # the kernel sits at ~58 MB VMEM.
+             # (A later chunked-reduction variant — dot over 2048/4096-col
+             # slices with immediate bucket-max — measured within 1-2%:
+             # Mosaic already pipelines the monolithic form.)
 
 
 # Each grid step emits its own (QB2, CB2/BUCKET) slice of the bucket-maxima
-# output — no cross-step merging, so CB2 must cover at least one full
-# 128-lane block (CB2 >= BUCKET**2; asserted in bucket_maxima).
+# output — no cross-step merging, so cb2 must be a MULTIPLE of BUCKET**2
+# (whole 128-lane output blocks per step; validated in bucket_maxima).
 
 
 def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int,
@@ -110,8 +118,8 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
     """Fused scores→128-bucket maxima, (Q, ceil(N/128)) f32.
 
     ``qb2``/``cb2`` override the default (query, corpus) block rows for
-    sweeps; cb2 must be ≥ BUCKET² so one grid step fills one 128-lane
-    output block."""
+    sweeps; cb2 must be a multiple of BUCKET² (= 16384) so each grid step
+    emits whole 128-lane output blocks."""
     Q, D = queries.shape
     N = corpus.shape[0]
     if corpus.shape[1] != D:

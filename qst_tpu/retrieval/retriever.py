@@ -47,11 +47,21 @@ def load_index(path: str, mesh=None) -> Tuple[ExactIndex, dict]:
 def _encode_device(encoder: Any, texts: list):
     """Encode keeping embeddings on device when the encoder supports it
     (SentenceEncoder's ``convert_to_numpy=False``); plain ``encode(texts)``
-    encoders (the duck-typed contract) still work."""
+    encoders (the duck-typed contract) still work. Capability is detected
+    from the signature — catching TypeError here would silently re-run the
+    whole encode when a genuine TypeError escapes the tokenizer."""
+    import inspect
+
     try:
+        params = inspect.signature(encoder.encode).parameters
+        supports = ("convert_to_numpy" in params
+                    or any(p.kind == inspect.Parameter.VAR_KEYWORD
+                           for p in params.values()))
+    except (TypeError, ValueError):  # builtins / C callables
+        supports = False
+    if supports:
         return encoder.encode(texts, convert_to_numpy=False)
-    except TypeError:
-        return encoder.encode(texts)
+    return encoder.encode(texts)
 
 
 class Retriever:

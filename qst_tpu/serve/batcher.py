@@ -63,28 +63,36 @@ class DynamicBatcher:
         self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._closed = False
+        self._lifecycle = threading.Lock()  # orders submit vs close
         self._thread.start()
 
     def submit_async(self, payload) -> _Item:
         """Enqueue without blocking; call ``.result()`` on the returned
         handle. Submitting a whole request's payloads before waiting lets
         them share one batch."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
-        item = _Item(payload)
-        self._queue.put(item)
-        return item
+        # The lock makes the closed-check + enqueue atomic w.r.t. close():
+        # without it an item could slip in AFTER the close sentinel and
+        # never be resolved, hanging its waiter forever.
+        with self._lifecycle:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            item = _Item(payload)
+            self._queue.put(item)
+            return item
 
     def submit(self, payload) -> Any:
         """Block until the batched result for ``payload`` is available."""
         return self.submit_async(payload).result()
 
     def close(self) -> None:
-        """Stop the collector thread (idempotent)."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        """Stop the collector thread (idempotent). In-flight items enqueued
+        before close are still processed (FIFO: they precede the
+        sentinel)."""
+        with self._lifecycle:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._thread.join(timeout=5)
 
     def __enter__(self) -> "DynamicBatcher":

@@ -63,7 +63,7 @@ def encoder_apply_fn(encoder_cfg: EncoderConfig,
         fwd = fused_embed_fn(encoder_cfg, nb=encoder_cfg.fused_nb,
                              differentiable=True, with_dropout=stochastic)
         if mesh is not None and mesh.shape[DATA_AXIS] > 1:
-            from jax.experimental.shard_map import shard_map
+            shard_map = jax.shard_map
 
             if stochastic:
                 # every device derives ITS mask stream from (rng, its batch
@@ -77,13 +77,13 @@ def encoder_apply_fn(encoder_cfg: EncoderConfig,
                 sharded = shard_map(
                     fwd_shard, mesh=mesh,
                     in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-                    out_specs=P(DATA_AXIS), check_rep=False)
+                    out_specs=P(DATA_AXIS), check_vma=False)
                 return lambda params, ids, mask, rng: sharded(
                     params, ids, mask, rng)
             sharded = shard_map(
                 fwd, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS), check_rep=False)
+                out_specs=P(DATA_AXIS), check_vma=False)
             return lambda params, ids, mask, rng: sharded(params, ids, mask)
         if stochastic:
             return fwd

@@ -136,3 +136,26 @@ def test_mesh_encode_pipeline_matches_single(mesh8):
     sharded = SentenceEncoder(cfg, params, tok, mesh=mesh8).encode(
         texts, batch_size=16, pipeline_batches=2)
     np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+
+def test_mesh_encode_pipeline_with_out_sharding(mesh8):
+    """out_sharding partitions the BATCH dim of the many-forward's (K, B, D)
+    output, not the leading K axis (regression: the single-batch sharding
+    was reused verbatim, which fails whenever K % n_devices != 0)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qst_tpu.core.config import EncoderConfig
+    from qst_tpu.core.meshes import DATA_AXIS
+    from qst_tpu.models import HashTokenizer, SentenceEncoder, init_params
+
+    cfg = EncoderConfig.tiny()
+    params = init_params(cfg, jax.random.key(0))
+    tok = HashTokenizer(cfg.vocab_size)
+    texts = [f"sentence {i} topic {i % 7}" for i in range(96)]
+    plain = SentenceEncoder(cfg, params, tok).encode(texts, batch_size=16)
+    out_sh = NamedSharding(mesh8, P(DATA_AXIS))
+    enc = SentenceEncoder(cfg, params, tok, mesh=mesh8, out_sharding=out_sh)
+    # K=3 batches per dispatch: 3 % 8 != 0, so sharding K would fail
+    got = enc.encode(texts, batch_size=16, pipeline_batches=3)
+    np.testing.assert_allclose(got, plain, atol=1e-5)
