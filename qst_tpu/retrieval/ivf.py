@@ -133,3 +133,30 @@ class IVFIndex:
         s, i = np.asarray(s), np.asarray(i)
         ids = [[self.ids[j] if j >= 0 else None for j in row] for row in i]
         return s, ids
+
+    def search_stream(self, query_batches, k: int = 10, n_probe: int = 8,
+                      depth: int = 4):
+        """Pipelined serving loop over batches of queries: yields one
+        ``(scores, ids)`` pair per batch in input order, keeping up to
+        ``depth`` searches in flight (same dispatch pattern as
+        ``ExactIndex.search_stream`` — the device round trip of batch N
+        overlaps the compute of the next batches)."""
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        n_probe = min(n_probe, self.centroids.shape[0])
+
+        def finish(pair):
+            s, i = np.asarray(pair[0]), np.asarray(pair[1])
+            ids = [[self.ids[j] if j >= 0 else None for j in row]
+                   for row in i]
+            return s, ids
+
+        pending: List = []
+        for q in query_batches:
+            pending.append(_ivf_search(
+                jnp.asarray(q, jnp.float32), self.centroids, self.cells,
+                self.cell_ids, n_probe, k))
+            if len(pending) >= depth:
+                yield finish(pending.pop(0))
+        while pending:
+            yield finish(pending.pop(0))

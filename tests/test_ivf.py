@@ -62,3 +62,18 @@ def test_ivf_validation(clustered_corpus):
         IVFIndex(clustered_corpus[:8], n_clusters=16)
     with pytest.raises(ValueError):
         IVFIndex(clustered_corpus, n_clusters=4, ids=[1, 2])
+
+
+def test_ivf_search_stream_matches_search(rng):
+    corpus = rng.standard_normal((400, 16)).astype(np.float32)
+    idx = IVFIndex(corpus, n_clusters=8, seed=0)
+    batches = [rng.standard_normal((5, 16)).astype(np.float32)
+               for _ in range(4)]
+    got = list(idx.search_stream(iter(batches), k=3, n_probe=4, depth=2))
+    assert len(got) == 4
+    for q, (s, ids) in zip(batches, got):
+        es, eids = idx.search(q, k=3, n_probe=4)
+        np.testing.assert_allclose(s, es)
+        assert ids == eids
+    with pytest.raises(ValueError, match="depth"):
+        list(idx.search_stream(batches[:1], depth=0))
