@@ -89,7 +89,7 @@ CB2 = 16384  # corpus rows per grid step (128 buckets). Round-2 sweep with
 # (whole 128-lane output blocks per step; validated in bucket_maxima).
 
 
-def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int,
+def _bucket_max_kernel(n_ref, q_ref, c_ref, out_ref, *,
                        corpus_outer: bool, qb2: int, cb2: int):
     # corpus_outer: corpus blocks on the OUTER grid axis — each (cb2, D)
     # corpus block is fetched once and reused across every query block
@@ -103,7 +103,9 @@ def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int,
     )  # (qb2, cb2)
     base = ct * cb2
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < n_real, s, -jnp.inf)
+    # n_ref is an SMEM scalar so the valid-row count can be DYNAMIC — inside
+    # shard_map each shard's count depends on axis_index (sharded search)
+    s = jnp.where(col < n_ref[0], s, -jnp.inf)
     nb = cb2 // BUCKET
     bmax = jnp.max(s.reshape(qb2, nb, BUCKET), axis=2)  # (qb2, nb)
     out_ref[:] = bmax
@@ -114,12 +116,19 @@ def _bucket_max_kernel(q_ref, c_ref, out_ref, *, n_real: int,
 def bucket_maxima(queries: jax.Array, corpus: jax.Array,
                   interpret: bool = False,
                   corpus_outer: bool = False,
-                  qb2: int = QB2, cb2: int = CB2) -> jax.Array:
+                  qb2: int = QB2, cb2: int = CB2,
+                  n_real=None) -> jax.Array:
     """Fused scores→128-bucket maxima, (Q, ceil(N/128)) f32.
 
     ``qb2``/``cb2`` override the default (query, corpus) block rows for
     sweeps; cb2 must be a multiple of BUCKET² (= 16384) so each grid step
-    emits whole 128-lane output blocks."""
+    emits whole 128-lane output blocks.
+
+    ``n_real`` (optional, scalar int32 array) dynamically masks rows ≥
+    n_real to −inf — the per-shard valid count under ``shard_map``, where
+    the count depends on the runtime shard id. Defaults to the static row
+    count N. The returned width stays ceil(N/128); fully-masked buckets
+    read −inf."""
     Q, D = queries.shape
     N = corpus.shape[0]
     if corpus.shape[1] != D:
@@ -129,6 +138,10 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
             " mismatch would silently score against a sub-slice)")
     if cb2 % (BUCKET * BUCKET) != 0:
         raise ValueError(f"cb2 must be a multiple of {BUCKET**2}, got {cb2}")
+    if n_real is None:
+        n_real = jnp.full((1,), N, jnp.int32)
+    else:
+        n_real = jnp.asarray(n_real, jnp.int32).reshape(1)
     QB2_, CB2_ = qb2, cb2
     q_pad = ((Q + QB2_ - 1) // QB2_) * QB2_
     c_pad = ((N + CB2_ - 1) // CB2_) * CB2_
@@ -142,19 +155,22 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
     nbk = CB2_ // BUCKET  # bucket-maxima columns per grid step
     if corpus_outer:
         grid = (n_ct, n_qb)
+        n_map = lambda ct, qb: (0,)
         q_map = lambda ct, qb: (qb, 0)
         c_map = lambda ct, qb: (ct, 0)
         o_map = lambda ct, qb: (qb, ct)
     else:
         grid = (n_qb, n_ct)
+        n_map = lambda qb, ct: (0,)
         q_map = lambda qb, ct: (qb, 0)
         c_map = lambda qb, ct: (ct, 0)
         o_map = lambda qb, ct: (qb, ct)
     out = pl.pallas_call(
-        functools.partial(_bucket_max_kernel, n_real=N,
+        functools.partial(_bucket_max_kernel,
                           corpus_outer=corpus_outer, qb2=QB2_, cb2=CB2_),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1,), n_map, memory_space=pltpu.SMEM),
             pl.BlockSpec((QB2_, D), q_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((CB2_, D), c_map, memory_space=pltpu.VMEM),
         ],
@@ -165,7 +181,7 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(queries_p, corpus_p)
+    )(n_real, queries_p, corpus_p)
     # packed layout: global bucket b lives at column b directly
     n_buckets = -(-N // BUCKET)
     return out[:Q, :n_buckets]
@@ -273,6 +289,45 @@ def rescore_buckets(queries: jax.Array, corpus_padded: jax.Array,
     )(bucket_ids.T.astype(jnp.int32), queries,
       *([corpus_padded] * (QR * k)))
     return out[:Q]
+
+
+def pallas_topk_local(queries: jax.Array, corpus_shard: jax.Array, k: int,
+                      n_local: jax.Array,
+                      interpret: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Per-shard fused top-k for the ICI-sharded index: the v2 pipeline with
+    a DYNAMIC valid-row count (traced, e.g. derived from ``axis_index``
+    inside ``shard_map``). → (scores (Q, k), local ids (Q, k)); slots beyond
+    the shard's real docs carry −inf so the cross-shard merge drops them.
+
+    ``corpus_shard`` rows must be a BUCKET multiple (the sharded index pads
+    to one). Unlike :func:`pallas_topk_v2` this is not jitted on its own —
+    it is traced inside the caller's shard_map.
+    """
+    Q, D = queries.shape
+    rows = corpus_shard.shape[0]
+    if rows % BUCKET != 0:
+        raise ValueError(f"corpus_shard rows {rows} not a multiple of"
+                         f" {BUCKET}")
+    n_local = jnp.asarray(n_local, jnp.int32).reshape(1)
+    bm = bucket_maxima(queries, corpus_shard, interpret=interpret,
+                       n_real=n_local)                  # (Q, NB)
+    NB = bm.shape[1]
+    ids_raw = _hierarchical_top_buckets(bm, k)          # (Q, k)
+    # when the shard holds fewer than k finite buckets, selection can return
+    # ids in the −inf padded range — clamp for the DMA and invalidate
+    valid = ids_raw < NB
+    bucket_ids = jnp.minimum(ids_raw, NB - 1)
+    scores = rescore_buckets(queries, corpus_shard, bucket_ids, k,
+                             interpret=interpret)       # (Q, k·BUCKET)
+    doc_ids = (bucket_ids[:, :, None] * BUCKET
+               + jnp.arange(BUCKET)[None, None, :])     # (Q, k, BUCKET)
+    ok = valid[:, :, None] & (doc_ids < n_local[0])
+    flat_ids = doc_ids.reshape(Q, k * BUCKET)
+    scores = jnp.where(ok.reshape(Q, k * BUCKET), scores, -jnp.inf)
+    top_s, pos = jax.lax.top_k(scores, k)
+    top_i = jnp.take_along_axis(flat_ids, pos, axis=1)
+    return top_s, top_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

@@ -151,9 +151,18 @@ def _local_topk(s: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     return top_s, bucket * BUCKET + pos % BUCKET
 
 
-def _sharded_search_fn(mesh: Mesh, k: int, score: str, shard_rows: int):
+def _sharded_search_fn(mesh: Mesh, k: int, score: str, shard_rows: int,
+                       pallas: bool = False, interpret: bool = False):
     """Build the shard_map search: replicated queries, doc-sharded corpus →
-    replicated global top-k."""
+    replicated global top-k.
+
+    ``pallas=True`` runs the FUSED pipeline per shard (bucket-maxima kernel
+    + hierarchical selection + dynamic-DMA rescore,
+    qst_tpu.ops.topk_pallas.pallas_topk_local) instead of the XLA bucket-max
+    scan — one search path from 1 chip to a pod slice (the BASELINE.md
+    v5e-8 north-star configuration). The shard-local candidates are
+    all-gathered over ICI and globally re-ranked either way. ``interpret``
+    runs the kernels in interpreter mode (CPU-mesh exactness tests)."""
     score_fn = SCORE_FUNCTIONS[score]
     axes = (DATA_AXIS, MODEL_AXIS)
 
@@ -163,10 +172,19 @@ def _sharded_search_fn(mesh: Mesh, k: int, score: str, shard_rows: int):
         mi = jax.lax.axis_index(MODEL_AXIS)
         shard_id = di * jax.lax.axis_size(MODEL_AXIS) + mi
         base = shard_id * shard_rows
-        s = score_fn(q, c_shard)  # (Q, shard_rows)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-        s = jnp.where(col < n_real[0], s, -jnp.inf)
-        s1, i1 = _local_topk(s, k)            # per-shard candidates
+        if pallas:
+            from qst_tpu.ops.topk_pallas import pallas_topk_local
+
+            # caller pre-normalizes for cos and casts queries to the corpus
+            # dtype — scoring stays bf16 on the MXU for bf16 indexes
+            n_local = jnp.clip(n_real[0] - base, 0, shard_rows)
+            s1, i1 = pallas_topk_local(q, c_shard, k, n_local,
+                                       interpret=interpret)
+        else:
+            s = score_fn(q, c_shard)  # (Q, shard_rows)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+            s = jnp.where(col < n_real[0], s, -jnp.inf)
+            s1, i1 = _local_topk(s, k)            # per-shard candidates
         i1 = i1 + base
         # gather candidates from every shard over ICI, then global re-rank
         all_s = jax.lax.all_gather(s1, axes, axis=1, tiled=True)  # (Q, k·n)
@@ -217,7 +235,11 @@ class ExactIndex:
         self._cos_corpus = None  # lazily normalized corpus for cos searches
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
             n_dev = int(np.prod(list(mesh.shape.values())))
-            self.shard_rows = ((self.n_docs + n_dev - 1) // n_dev)
+            # BUCKET-aligned shards so the fused per-shard pipeline
+            # (pallas_topk_local) sees whole 128-row buckets
+            self.shard_rows = (
+                (self.n_docs + n_dev * BUCKET - 1) // (n_dev * BUCKET)
+            ) * BUCKET
             padded = self.shard_rows * n_dev
             if padded != self.n_docs:
                 emb = jnp.pad(emb, ((0, padded - self.n_docs), (0, 0)))
@@ -227,15 +249,19 @@ class ExactIndex:
             self.mesh = None
             self.embeddings = emb
 
-    PALLAS_MIN_DOCS = 65536  # below this the plain XLA path wins
+    PALLAS_MIN_DOCS = 65536        # below this the plain XLA path wins
+    PALLAS_MIN_SHARD_DOCS = 16384  # per-shard threshold (one CB2 grid step)
 
     def _pallas_eligible(self, k: int, score: str) -> bool:
         import jax
 
-        return (self.mesh is None
-                and k <= 128
+        if self.mesh is None:
+            big_enough = self.n_docs >= self.PALLAS_MIN_DOCS
+        else:
+            big_enough = self.shard_rows >= self.PALLAS_MIN_SHARD_DOCS
+        return (k <= 128
                 and score in ("cos_sim", "dot_score")
-                and self.n_docs >= self.PALLAS_MIN_DOCS
+                and big_enough
                 and jax.devices()[0].platform != "cpu")
 
     def search(self, queries, k: int = 10, score: str = "cos_sim",
@@ -266,8 +292,6 @@ class ExactIndex:
                       or (backend == "auto"
                           and self._pallas_eligible(k, score)))
         if use_pallas:
-            if self.mesh is not None:
-                raise ValueError("pallas backend is single-device")
             if score not in ("cos_sim", "dot_score"):
                 raise ValueError("pallas backend supports cos/dot scores")
             from qst_tpu.ops.topk_pallas import pallas_topk_v2
@@ -279,12 +303,24 @@ class ExactIndex:
                 if not self._normalized:
                     # normalize the corpus ONCE and reuse it — re-deriving it
                     # per call costs O(N·D) device work + a full corpus-sized
-                    # allocation on every search
+                    # allocation on every search (sharded: l2_normalize is
+                    # elementwise-per-row so XLA keeps the doc sharding)
                     if self._cos_corpus is None:
                         self._cos_corpus = l2_normalize(
                             cc.astype(jnp.float32)).astype(cc.dtype)
                     cc = self._cos_corpus
             qq = qq.astype(cc.dtype)
+            if self.mesh is not None:
+                # fused pipeline per shard under shard_map + ICI merge;
+                # interpreter-mode kernels on the CPU test mesh
+                interpret = jax.devices()[0].platform == "cpu"
+                key = ("pallas", k, interpret)
+                if key not in self._search_fns:
+                    self._search_fns[key] = _sharded_search_fn(
+                        self.mesh, k, "dot_score", self.shard_rows,
+                        pallas=True, interpret=interpret)
+                n_real = jnp.full((1,), self.n_docs, jnp.int32)
+                return self._search_fns[key](qq, cc, n_real)
             return pallas_topk_v2(qq, cc, k)
         q = jnp.asarray(queries, dtype=jnp.float32)
         if self.mesh is not None:

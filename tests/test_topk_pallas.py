@@ -137,6 +137,59 @@ def test_dim_mismatch_raises(rng):
                         jnp.zeros((4, 3), jnp.int32), 3, interpret=True)
 
 
+@pytest.mark.parametrize("n_docs,score", [(5000, "cos_sim"),
+                                          (9000, "dot_score"),
+                                          (800, "dot_score")])
+def test_sharded_pallas_search_exact(rng, mesh8, n_docs, score):
+    """The fused pipeline under shard_map (interpret mode on the CPU mesh)
+    must be exact, including: k larger than a shard's bucket count (5000 docs
+    → 5 buckets/shard < k=10, exercising the clamp+invalidate path) and a
+    FULLY padded trailing shard (800 docs over 8 shards of 128)."""
+    from qst_tpu.retrieval import ExactIndex
+
+    D, Q, k = 32, 12, 10
+    corpus = rng.standard_normal((n_docs, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    idx = ExactIndex(corpus, mesh=mesh8)
+    s, i = idx.search(queries, k=k, score=score, backend="pallas")
+    if score == "cos_sim":
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    else:
+        qn, cn = queries, corpus
+    gs, gi = reference_topk(jnp.asarray(qn), jnp.asarray(cn), k)
+    np.testing.assert_array_equal(i, np.asarray(gi))
+    np.testing.assert_allclose(s, np.asarray(gs), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pallas_matches_xla_backend(rng, mesh8):
+    """Sharded fused vs sharded XLA scan: identical ids on the same index."""
+    from qst_tpu.retrieval import ExactIndex
+
+    corpus = rng.standard_normal((4096, 48)).astype(np.float32)
+    queries = rng.standard_normal((7, 48)).astype(np.float32)
+    idx = ExactIndex(corpus, mesh=mesh8)
+    s_p, i_p = idx.search(queries, k=5, backend="pallas")
+    s_x, i_x = idx.search(queries, k=5, backend="xla")
+    np.testing.assert_array_equal(i_p, i_x)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-4, atol=1e-5)
+
+
+def test_bucket_maxima_dynamic_n_real(rng):
+    """A traced n_real must mask exactly like the static row count."""
+    corpus = rng.standard_normal((1024, 32)).astype(np.float32)
+    queries = rng.standard_normal((8, 32)).astype(np.float32)
+    got = bucket_maxima(jnp.asarray(queries), jnp.asarray(corpus),
+                        interpret=True,
+                        n_real=jnp.full((1,), 700, jnp.int32))
+    golden = np.asarray(bucket_maxima(
+        jnp.asarray(queries), jnp.asarray(corpus[:700]), interpret=True))
+    nb = golden.shape[1]
+    np.testing.assert_allclose(np.asarray(got)[:, :nb], golden,
+                               rtol=1e-5)
+    assert np.all(np.isneginf(np.asarray(got)[:, nb:]))
+
+
 def test_bucket_maxima_grid_order_and_blocks(rng):
     """corpus_outer / qb2 / cb2 knobs must not change results."""
     corpus = rng.standard_normal((3000, 64)).astype(np.float32)
