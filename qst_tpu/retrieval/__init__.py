@@ -1,7 +1,9 @@
 from qst_tpu.retrieval.index import ExactIndex, exact_topk
 from qst_tpu.retrieval.retriever import Retriever, save_index, load_index
+from qst_tpu.retrieval.streaming import StreamingExactIndex
 from qst_tpu.retrieval.updatable import UpdatableIndex
 from qst_tpu.retrieval.ivf import IVFIndex, kmeans
 
 __all__ = ["ExactIndex", "exact_topk", "Retriever", "save_index",
-           "load_index", "UpdatableIndex", "IVFIndex", "kmeans"]
+           "load_index", "StreamingExactIndex", "UpdatableIndex",
+           "IVFIndex", "kmeans"]

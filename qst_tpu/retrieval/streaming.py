@@ -1,0 +1,179 @@
+"""Host-streamed exact search: corpora larger than HBM.
+
+The in-HBM ``ExactIndex`` requires the whole embedding matrix device-resident,
+hard-capping the single-chip envelope (~8-10M docs at 384-dim bf16 on a 16 GB
+v5e). The reference has no such wall: its evaluator streams the corpus through
+50k-doc host chunks (reference training/main.py:178-179; the chunked
+encode+score loop behind ir_evauation_script.py:107-131) and can search
+anything that fits host memory. ``StreamingExactIndex`` restores that envelope
+TPU-natively:
+
+- the corpus stays in host RAM (or an ``np.memmap`` straight from disk);
+- BUCKET-aligned tiles stream host→HBM **double-buffered**: the
+  ``jax.device_put`` of tile t+1 is dispatched before tile t's search step,
+  so the DMA of the next tile overlaps the current tile's compute;
+- each tile runs the same fused pipeline as the in-HBM index
+  (``pallas_topk_local``: bucket-maxima kernel → hierarchical bucket
+  selection → dynamic-DMA rescore → narrow top-k) or the XLA bucket-max
+  twin, and a (Q, k) candidate carry merges across tiles. Exactness is the
+  deferred-merge argument applied per tile plus an exact top-k merge of
+  exact rescored scores — the same math that already composes across grid
+  steps inside one tile.
+
+Only ``tile_rows · D`` bytes (×2 for the double buffer) ever occupy HBM, so
+the searchable corpus is bounded by host memory / disk, not HBM. Sustained
+throughput is min(host-link bandwidth, bucket-maxima compute) — see
+benchmarks/RESULTS.md for the measured envelope and roofline analysis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qst_tpu.ops.distances import SCORE_FUNCTIONS, l2_normalize
+from qst_tpu.retrieval.index import BUCKET, _local_topk
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "use_pallas", "normalize",
+                                    "interpret"),
+                   donate_argnames=("carry_s", "carry_i"))
+def _tile_step(queries, tile, base, n_valid, carry_s, carry_i, *,
+               k: int, use_pallas: bool, normalize: bool,
+               interpret: bool) -> Tuple[jax.Array, jax.Array]:
+    """Search one corpus tile and merge into the (Q, k) candidate carry.
+
+    ``base``/``n_valid`` are dynamic (same compiled step for every tile,
+    including the padded last one). The carry buffers are donated — the
+    running candidates never accumulate device memory across tiles."""
+    if normalize:
+        # per-tile device normalization: a host-side pass over a >HBM corpus
+        # would cost a full extra read of the whole matrix
+        tile = l2_normalize(tile.astype(jnp.float32)).astype(tile.dtype)
+    if use_pallas:
+        from qst_tpu.ops.topk_pallas import pallas_topk_local
+
+        s, i = pallas_topk_local(queries, tile, k, n_valid,
+                                 interpret=interpret)
+    else:
+        sc = jax.lax.dot_general(
+            queries, tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        sc = jnp.where(col < n_valid, sc, -jnp.inf)
+        # a tile holds only tile_rows docs, so min(k, tile_rows) per-tile
+        # candidates still cover the global top-k exactly
+        s, i = _local_topk(sc, min(k, tile.shape[0]))
+    i = i + base
+    cs = jnp.concatenate([carry_s, s], axis=1)
+    ci = jnp.concatenate([carry_i, i], axis=1)
+    s2, pos = jax.lax.top_k(cs, k)
+    i2 = jnp.take_along_axis(ci, pos, axis=1)
+    return s2, i2
+
+
+class StreamingExactIndex:
+    """Exact top-k search over a HOST-resident corpus (RAM ``np.ndarray`` or
+    ``np.memmap``), streamed tile-by-tile through HBM.
+
+    The corpus array is NOT copied — slices are materialized per tile at
+    transfer time (and cast to ``transfer_dtype``, halving host-link bytes
+    for f32 sources)."""
+
+    def __init__(self, embeddings: np.ndarray,
+                 tile_rows: int = 1 << 21,
+                 normalize: bool = False,
+                 transfer_dtype: str = "bfloat16",
+                 ids: Optional[list] = None):
+        if embeddings.ndim != 2 or embeddings.shape[0] == 0:
+            raise ValueError(
+                f"embeddings must be (N, D), got {embeddings.shape}")
+        if tile_rows % BUCKET != 0 or tile_rows <= 0:
+            raise ValueError(
+                f"tile_rows must be a positive multiple of {BUCKET}, "
+                f"got {tile_rows}")
+        if transfer_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"transfer_dtype must be float32|bfloat16, got"
+                f" {transfer_dtype}")
+        self.embeddings = embeddings      # host-resident, never copied whole
+        self.n_docs, self.dim = embeddings.shape
+        self.tile_rows = tile_rows
+        self._normalize_on_device = normalize
+        self.transfer_dtype = jnp.dtype(transfer_dtype)
+        self.ids = list(ids) if ids is not None else None
+        if self.ids is not None and len(self.ids) != self.n_docs:
+            raise ValueError("ids length mismatch")
+
+    @classmethod
+    def from_npy(cls, path: str, **kw) -> "StreamingExactIndex":
+        """Memory-map a ``.npy`` corpus straight from disk — the searchable
+        corpus is then bounded by disk, not RAM."""
+        return cls(np.load(path, mmap_mode="r"), **kw)
+
+    def _host_tile(self, t: int) -> np.ndarray:
+        """Materialize tile t host-side: slice, cast, pad the last tile."""
+        lo = t * self.tile_rows
+        hi = min(lo + self.tile_rows, self.n_docs)
+        chunk = np.asarray(self.embeddings[lo:hi])
+        np_dtype = jnp.dtype(self.transfer_dtype)
+        if chunk.dtype != np_dtype:
+            chunk = chunk.astype(np_dtype)
+        if hi - lo < self.tile_rows:
+            chunk = np.pad(chunk, ((0, self.tile_rows - (hi - lo)), (0, 0)))
+        return chunk
+
+    def search(self, queries, k: int = 10, score: str = "cos_sim",
+               backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+        """→ (scores (Q, k), indices (Q, k)) as numpy, exact over the full
+        host corpus. One full host→HBM corpus pass per call — batch queries
+        to amortize it (Q only changes the compute term, not the stream)."""
+        if score not in ("cos_sim", "dot_score"):
+            raise ValueError(
+                f"streaming search supports cos_sim|dot_score, got {score!r}")
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
+        on_cpu = jax.devices()[0].platform == "cpu"
+        use_pallas = backend == "pallas" or (backend == "auto" and not on_cpu)
+        k = min(k, self.n_docs)
+        if k > 128 and use_pallas:
+            if backend == "pallas":
+                raise ValueError("pallas backend supports k <= 128")
+            use_pallas = False
+        interpret = use_pallas and on_cpu
+        qq = jnp.asarray(np.asarray(queries), jnp.float32)
+        if score == "cos_sim":
+            qq = l2_normalize(qq)
+        qq = qq.astype(self.transfer_dtype)
+        Q = qq.shape[0]
+        normalize = score == "cos_sim"
+
+        n_tiles = -(-self.n_docs // self.tile_rows)
+        carry_s = jnp.full((Q, k), -jnp.inf, jnp.float32)
+        carry_i = jnp.full((Q, k), -1, jnp.int32)
+        # double buffer: tile t+1's host slice + device transfer are issued
+        # before tile t's step is consumed, overlapping DMA with compute
+        buf = jax.device_put(self._host_tile(0))
+        for t in range(n_tiles):
+            nxt = jax.device_put(self._host_tile(t + 1)) \
+                if t + 1 < n_tiles else None
+            base = jnp.int32(t * self.tile_rows)
+            n_valid = jnp.int32(
+                min(self.n_docs - t * self.tile_rows, self.tile_rows))
+            carry_s, carry_i = _tile_step(
+                qq, buf, base, n_valid, carry_s, carry_i,
+                k=k, use_pallas=use_pallas, normalize=normalize,
+                interpret=interpret)
+            buf = nxt
+        return np.asarray(carry_s), np.asarray(carry_i)
+
+    def search_ids(self, queries, k: int = 10, score: str = "cos_sim"):
+        """→ (scores, doc-id lists) using external ids when provided."""
+        s, i = self.search(queries, k, score)
+        ids = self.ids if self.ids is not None else list(range(self.n_docs))
+        return s, [[ids[j] for j in row] for row in i]

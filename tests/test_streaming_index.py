@@ -1,0 +1,107 @@
+"""Host-streamed exact search: tile-merge exactness on the CPU backend.
+
+The streaming index restores the reference's stream-any-corpus envelope
+(reference training/main.py:178-179's 50k-doc chunked evaluator loop); here
+it must be EXACT vs the brute-force reference for every tile geometry,
+score, backend, and dtype combination."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qst_tpu.ops.topk_pallas import reference_topk
+from qst_tpu.retrieval import StreamingExactIndex
+
+
+def _golden(queries, corpus, k, score):
+    if score == "cos_sim":
+        queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    return reference_topk(jnp.asarray(queries), jnp.asarray(corpus), k)
+
+
+@pytest.mark.parametrize("n_docs,tile_rows", [(5000, 1024), (3000, 4096),
+                                              (4096, 2048), (700, 128)])
+@pytest.mark.parametrize("score", ["cos_sim", "dot_score"])
+def test_streaming_exact_vs_reference(rng, n_docs, tile_rows, score):
+    """Partial last tiles, single-tile corpora, and tiny tiles must all be
+    exact (f32 transfers so scores bit-match the f32 reference)."""
+    D, Q, k = 32, 9, 7
+    corpus = rng.standard_normal((n_docs, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=tile_rows,
+                              transfer_dtype="float32")
+    s, i = idx.search(queries, k=k, score=score)
+    gs, gi = _golden(queries, corpus, k, score)
+    np.testing.assert_array_equal(i, np.asarray(gi))
+    np.testing.assert_allclose(s, np.asarray(gs), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_pallas_backend_interpret(rng):
+    """The fused per-tile pipeline (interpret mode on CPU) must agree with
+    the XLA tile path exactly."""
+    corpus = rng.standard_normal((2600, 48)).astype(np.float32)
+    queries = rng.standard_normal((5, 48)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=1024,
+                              transfer_dtype="float32")
+    s_p, i_p = idx.search(queries, k=6, backend="pallas")
+    s_x, i_x = idx.search(queries, k=6, backend="xla")
+    np.testing.assert_array_equal(i_p, i_x)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_bf16_transfer_matches_bf16_truth(rng):
+    """bf16 transfer halves host-link bytes; ranking must equal the truth
+    computed on the same bf16-quantized corpus."""
+    corpus = rng.standard_normal((2000, 32)).astype(np.float32)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=512)  # bf16 default
+    s, i = idx.search(queries, k=5, score="dot_score")
+    c16 = jnp.asarray(corpus, jnp.bfloat16)
+    q16 = jnp.asarray(queries, jnp.bfloat16)
+    gs, gi = reference_topk(q16, c16, 5)
+    np.testing.assert_array_equal(i, np.asarray(gi))
+
+
+def test_streaming_memmap_from_npy(rng, tmp_path):
+    """A disk-backed memmap corpus must search without loading into RAM."""
+    corpus = rng.standard_normal((1500, 16)).astype(np.float32)
+    path = str(tmp_path / "corpus.npy")
+    np.save(path, corpus)
+    idx = StreamingExactIndex.from_npy(path, tile_rows=512,
+                                       transfer_dtype="float32")
+    assert isinstance(idx.embeddings, np.memmap)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    s, i = idx.search(q, k=4)
+    gs, gi = _golden(q, corpus, 4, "cos_sim")
+    np.testing.assert_array_equal(i, np.asarray(gi))
+
+
+def test_streaming_ids_and_k_clamp(rng):
+    corpus = rng.standard_normal((300, 8)).astype(np.float32)
+    ids = [f"doc{j}" for j in range(300)]
+    idx = StreamingExactIndex(corpus, tile_rows=128,
+                              transfer_dtype="float32", ids=ids)
+    q = corpus[:2]
+    s, out_ids = idx.search_ids(q, k=500)  # clamps to N
+    assert len(out_ids[0]) == 300
+    assert out_ids[0][0] == "doc0" and out_ids[1][0] == "doc1"
+
+
+def test_streaming_validation(rng):
+    corpus = rng.standard_normal((100, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="tile_rows"):
+        StreamingExactIndex(corpus, tile_rows=100)
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        StreamingExactIndex(corpus, transfer_dtype="float16")
+    with pytest.raises(ValueError, match="must be"):
+        StreamingExactIndex(corpus[0])
+    with pytest.raises(ValueError, match="ids length"):
+        StreamingExactIndex(corpus, tile_rows=128, ids=["a"])
+    idx = StreamingExactIndex(corpus, tile_rows=128,
+                              transfer_dtype="float32")
+    with pytest.raises(ValueError, match="supports"):
+        idx.search(corpus[:1], score="euclid_score")
+    with pytest.raises(ValueError, match="backend"):
+        idx.search(corpus[:1], backend="nope")
