@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--p_norm", type=float, default=2.0)
     p.add_argument("--lmbd", type=float, default=0.1)
     add_bool_flag(p, "swap", False, "use distance swap in the margin losses")
+    add_bool_flag(p, "use_fused_loss_kernel", False,
+                  "route the gamma loss through the fused Pallas "
+                  "pairwise-distance/margin kernel (p=2, no swap)")
     # training (reference defaults training/main.py:221-239)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=10)
@@ -157,7 +160,8 @@ def main(argv=None) -> int:
         margin_pos_neg=args.margin_pos_neg,
         margin_pos_part=args.margin_pos_part,
         margin_part_neg=args.margin_part_neg,
-        p=args.p_norm, swap=args.swap, lmbd=args.lmbd)
+        p=args.p_norm, swap=args.swap, lmbd=args.lmbd,
+        use_fused_kernel=args.use_fused_loss_kernel)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,

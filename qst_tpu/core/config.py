@@ -89,10 +89,19 @@ class LossConfig:
     reduction: str = "mean"
     # d-regularized variant only (reference losses.py:72-151).
     lmbd: float = 0.1
+    # route the loss through the fused Pallas pairwise-distance/margin
+    # kernel (ops/quadruplet_pallas.py, analytic custom VJP) instead of the
+    # jnp formulation — p=2/no-swap gamma loss only
+    use_fused_kernel: bool = False
 
     def __post_init__(self) -> None:
         if self.kind not in ("gamma", "d_regularized", "triplet"):
             raise ValueError(f"unknown loss kind: {self.kind}")
+        if self.use_fused_kernel and (
+                self.kind != "gamma" or self.p != 2.0 or self.swap):
+            raise ValueError(
+                "use_fused_kernel supports only the gamma loss with p=2 "
+                "and swap=False (use the jnp loss otherwise)")
         _validate_unit("gamma", self.gamma)
         _validate_positive("margin_pos_neg", self.margin_pos_neg)
         _validate_positive("margin_pos_part", self.margin_pos_part)

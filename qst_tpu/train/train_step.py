@@ -120,6 +120,19 @@ def loss_from_config(loss_cfg: LossConfig,
             return triplet_margin_loss(
                 a, pos, neg, margin=loss_cfg.margin_pos_neg,
                 p=loss_cfg.p, swap=loss_cfg.swap).mean()
+    elif loss_cfg.use_fused_kernel:
+        # fused Pallas pairwise-distance/margin kernel with analytic
+        # custom-VJP backward (p=2, no swap — enforced by LossConfig);
+        # interpreter mode on the CPU test mesh
+        from qst_tpu.ops.quadruplet_pallas import fused_gamma_quadruplet_loss
+
+        interpret = jax.devices()[0].platform == "cpu"
+
+        def loss(a, pos, part, neg):
+            return fused_gamma_quadruplet_loss(
+                a, pos, part, neg, loss_cfg.gamma,
+                loss_cfg.margin_pos_neg, loss_cfg.margin_pos_part,
+                loss_cfg.margin_part_neg, "mean", interpret)
     else:
         def loss(a, pos, part, neg):
             return gamma_quadruplet_loss(

@@ -303,3 +303,43 @@ def test_train_step_triplet_kind_runs():
     ids, mask = _batch()
     state, loss = step(state, ids, mask, jax.random.key(1))
     assert np.isfinite(float(loss))
+
+
+# ------------------------------------------------- fused loss kernel path
+def test_fused_loss_kernel_step_matches_jnp_loss():
+    """A train step routed through the fused Pallas quadruplet-loss kernel
+    (interpret mode on CPU) must match the jnp-loss step: same loss, same
+    updated params. SGD keeps the comparison at gradient scale (Adam's
+    first-step normalization turns float noise into sign(g) flips)."""
+    import optax
+
+    from qst_tpu.models.sentence_encoder import init_params
+    from qst_tpu.train.train_step import TrainState
+
+    ids, mask = _batch()
+    losses, params = [], []
+    for fused in (False, True):
+        lcfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5,
+                          use_fused_kernel=fused)
+        tx = optax.sgd(1e-2)
+        p0 = init_params(TINY, jax.random.key(0))
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=p0,
+                           opt_state=tx.init({"encoder": p0}))
+        step = make_train_step(TINY, lcfg, tx)
+        new_state, loss = step(state, ids, mask, jax.random.key(1))
+        losses.append(float(loss))
+        params.append(new_state.params)
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-5)
+    for x0, x1 in zip(jax.tree.leaves(params[0]),
+                      jax.tree.leaves(params[1])):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fused_loss_kernel_config_validation():
+    with pytest.raises(ValueError, match="use_fused_kernel"):
+        LossConfig(kind="triplet", use_fused_kernel=True)
+    with pytest.raises(ValueError, match="use_fused_kernel"):
+        LossConfig(p=1.0, use_fused_kernel=True)
+    with pytest.raises(ValueError, match="use_fused_kernel"):
+        LossConfig(swap=True, use_fused_kernel=True)
