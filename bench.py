@@ -84,6 +84,7 @@ def main() -> None:
     # serialized 61k QPS, depth 2 110k, depth 4 114k, depth 8 115k.
     DEPTH = 4
     best = float("inf")
+    window_times = []
     for _ in range(WINDOWS):
         checksum = 0
         pending = []
@@ -96,14 +97,19 @@ def main() -> None:
         while pending:
             _, i = pending.pop(0)
             checksum += int(np.asarray(i)[0, 0])
-        best = min(best, time.perf_counter() - t0)
+        window_times.append(time.perf_counter() - t0)
+        best = min(best, window_times[-1])
 
     qps = N_QUERIES * ITERS / best
+    mean_qps = N_QUERIES * ITERS / (sum(window_times) / len(window_times))
     print(json.dumps({
         "metric": "exact_knn_qps_1m",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / TARGET_QPS_PER_CHIP, 3),
+        # best-of-windows is the headline (the relay has ~2x-slow episodes);
+        # the mean keeps run-to-run variance visible and comparable
+        "mean_over_windows": round(mean_qps, 1),
     }))
 
 

@@ -83,8 +83,9 @@ def main() -> None:
     }))
 
     # fused-kernel training path: forward AND backward through the Pallas
-    # layer kernels (custom VJP, ops/fused_layer_pallas.py); dropout off —
-    # the kernels have none
+    # layer kernels (custom VJP, ops/fused_layer_pallas.py); dropout rates
+    # set to 0 for an apples-to-apples FLOP comparison with the Flax path
+    # (the kernels support in-kernel counter-based dropout)
     for fb in (B, 256):
         fcfg = EncoderConfig.minilm_l6(use_fused_layer=True,
                                        hidden_dropout=0.0,

@@ -215,7 +215,15 @@ class ExactIndex:
                  dtype: str = "float32"):
         """dtype="bfloat16" stores the corpus MXU-native — ~4× matmul
         throughput; ranking is then exact w.r.t. bf16-input scores (the
-        benchmarked serving configuration)."""
+        benchmarked serving configuration).
+
+        HBM note: cos searches on a NON-normalized index cache a second,
+        normalized corpus copy on first use (re-deriving it per call costs
+        O(N·D) work + a corpus-sized allocation every search) — ~2× index
+        HBM while both live. Build with ``normalize=True`` when only cos
+        searches are needed (scores are identical; dot/euclid then see the
+        normalized vectors), or serve dot_score over pre-normalized
+        embeddings."""
         emb = jnp.asarray(embeddings, dtype=jnp.float32)
         if emb.ndim != 2 or emb.shape[0] == 0:
             raise ValueError(f"embeddings must be (N, D), got {emb.shape}")

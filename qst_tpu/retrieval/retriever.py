@@ -47,20 +47,28 @@ def load_index(path: str, mesh=None) -> Tuple[ExactIndex, dict]:
 def _encode_device(encoder: Any, texts: list):
     """Encode keeping embeddings on device when the encoder supports it
     (SentenceEncoder's ``convert_to_numpy=False``); plain ``encode(texts)``
-    encoders (the duck-typed contract) still work. Capability is detected
-    from the signature — catching TypeError here would silently re-run the
-    whole encode when a genuine TypeError escapes the tokenizer."""
+    encoders (the duck-typed contract) still work. An EXPLICIT
+    ``convert_to_numpy`` parameter is trusted outright; a bare ``**kwargs``
+    only gets one guarded attempt (a duck-typed encoder that forwards
+    kwargs strictly would otherwise raise at call time), and the retry is
+    issued before any encode work happens so nothing is silently re-run."""
     import inspect
 
+    explicit = var_kw = False
     try:
         params = inspect.signature(encoder.encode).parameters
-        supports = ("convert_to_numpy" in params
-                    or any(p.kind == inspect.Parameter.VAR_KEYWORD
-                           for p in params.values()))
+        explicit = "convert_to_numpy" in params
+        var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                     for p in params.values())
     except (TypeError, ValueError):  # builtins / C callables
-        supports = False
-    if supports:
+        pass
+    if explicit:
         return encoder.encode(texts, convert_to_numpy=False)
+    if var_kw:
+        try:
+            return encoder.encode(texts, convert_to_numpy=False)
+        except TypeError:
+            return encoder.encode(texts)
     return encoder.encode(texts)
 
 

@@ -151,6 +151,13 @@ class RetrievalServer:
                 or not all(isinstance(q, str) for q in queries)):
             raise ValueError("'queries' must be a non-empty list of strings")
         k = req.get("k", 10)
-        if not isinstance(k, int) or not 1 <= k <= self._k_max:
+        # bool subclasses int: true would silently mean k=1
+        if (not isinstance(k, int) or isinstance(k, bool)
+                or not 1 <= k <= self._k_max):
             raise ValueError(f"'k' must be an int in [1, {self._k_max}]")
-        return queries, k, bool(req.get("return_texts", False))
+        want_texts = bool(req.get("return_texts", False))
+        if want_texts and not getattr(self.retriever, "_doc_texts", None):
+            raise ValueError(
+                "'return_texts' requested but the index was loaded without "
+                "document texts")
+        return queries, k, want_texts
