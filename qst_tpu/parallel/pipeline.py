@@ -22,10 +22,14 @@ Design (idiomatic JAX, not a torch port):
 - outputs leave the last stage and are ``psum``-broadcast over ``pipe``
   (every other stage contributes zeros), staying sharded over ``data``.
 
-Dropout is off inside the pipelined trunk (deterministic forward): carrying
-per-microbatch PRNG streams through stacked stage applies adds bookkeeping
-without changing the parallelism story; the embedding/pooling stages outside
-the pipeline behave as usual.
+Dropout (round 3): the trunk threads a PER-(data-shard, microbatch, layer)
+PRNG stream through the stage scan — ``fold_in(fold_in(fold_in(rng,
+data_index), microbatch), global_layer)`` — so PP training runs at the
+reference's default dropout rates (reference training/main.py:221-239 via
+the HF config) with masks that are deterministic given the step rng, exactly
+like the fused layer kernel's counter-based scheme. Embedding dropout uses
+the ``fold_in(rng, num_layers)`` stream. Pass ``rng=None`` (default) for the
+deterministic forward.
 """
 
 from __future__ import annotations
@@ -89,25 +93,44 @@ def unstack_stage_params(stage_params: Any, num_layers: int) -> Dict[str, Any]:
 
 
 def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
-                       n_microbatches: int) -> Callable:
+                       n_microbatches: int,
+                       stochastic: bool = False) -> Callable:
     """The per-device body run under shard_map: stacked stage params +
-    microbatched activations → microbatched last-hidden states."""
+    microbatched activations → microbatched last-hidden states.
+
+    ``stochastic``: thread per-(microbatch, layer) dropout keys through the
+    stage scan — layer l of microbatch m uses
+    ``fold_in(fold_in(fold_in(rng, data_index), m), l)`` (l global across
+    stages), so masks are deterministic given the step rng and iid across
+    data shards, microbatches, and layers. Bubble ticks draw the same keys
+    as the clipped microbatch they shadow, but their outputs are masked."""
     layer = BertLayer(cfg)
-
-    def apply_stage(sp, hidden, bias, mask):
-        def body(h, lp):
-            return layer.apply({"params": lp}, h, bias, mask, True), None
-
-        h, _ = jax.lax.scan(body, hidden, sp)
-        return h
-
+    per = cfg.num_layers // n_stages
     M, Pn = n_microbatches, n_stages
 
-    def trunk(stage_params, mb_hidden, mb_bias, mb_mask):
+    def apply_stage(sp, hidden, bias, mask, key_m):
+        s = jax.lax.axis_index(PIPE_AXIS)
+
+        def body(h, xs):
+            lp, li = xs
+            if stochastic:
+                k = jax.random.fold_in(key_m, s * per + li)
+                h = layer.apply({"params": lp}, h, bias, mask, False,
+                                rngs={"dropout": k})
+            else:
+                h = layer.apply({"params": lp}, h, bias, mask, True)
+            return h, None
+
+        h, _ = jax.lax.scan(body, hidden,
+                            (sp, jnp.arange(per, dtype=jnp.int32)))
+        return h
+
+    def trunk(stage_params, mb_hidden, mb_bias, mb_mask, rng):
         # local slices: stage_params (1, per, ...), mb_* (M, mb_local, ...)
         sp = jax.tree.map(lambda x: x[0], stage_params)
         p = jax.lax.axis_index(PIPE_AXIS)
         last = Pn - 1
+        rng_l = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
         def tick(carry, t):
             buf, outs = carry
@@ -115,7 +138,8 @@ def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
             valid = (m >= 0) & (m < M)
             mc = jnp.clip(m, 0, M - 1)
             x = jnp.where(p == 0, mb_hidden[mc], buf)
-            y = apply_stage(sp, x, mb_bias[mc], mb_mask[mc])
+            y = apply_stage(sp, x, mb_bias[mc], mb_mask[mc],
+                            jax.random.fold_in(rng_l, mc))
             outs = jnp.where((p == last) & valid,
                              outs.at[mc].set(y), outs)
             # activations hop stage p → p+1 (last stage's send is dropped)
@@ -148,33 +172,53 @@ def make_pp_embed_fn(cfg: EncoderConfig, mesh: Mesh, n_stages: int,
         raise ValueError(
             f"mesh pipe={mesh.shape[PIPE_AXIS]} != n_stages={n_stages}")
     emb_mod = BertEmbeddings(cfg)
-    trunk = _pipeline_trunk_fn(cfg, n_stages, n_microbatches)
-    sharded_trunk = jax.shard_map(
-        trunk, mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
-                  P(None, DATA_AXIS)),
-        out_specs=P(None, DATA_AXIS),
-        check_vma=False,
-    )
+    stochastic = cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
+
+    def make_sharded_trunk(stoch: bool):
+        return jax.shard_map(
+            _pipeline_trunk_fn(cfg, n_stages, n_microbatches, stoch),
+            mesh=mesh,
+            in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                      P(None, DATA_AXIS), P()),
+            out_specs=P(None, DATA_AXIS),
+            check_vma=False,
+        )
+
+    trunks = {False: make_sharded_trunk(False)}
+    if stochastic:
+        trunks[True] = make_sharded_trunk(True)
     M = n_microbatches
 
-    def fn(params, input_ids, attention_mask):
+    def fn(params, input_ids, attention_mask, rng=None):
+        """``rng=None`` → deterministic forward; with a key (and non-zero
+        configured dropout rates) the trunk runs stochastic per-microbatch
+        dropout and the embedding dropout uses the fold_in(rng, num_layers)
+        stream."""
         B, S = input_ids.shape
         if B % M != 0:
             raise ValueError(f"batch {B} not divisible by {M} microbatches")
+        stoch = rng is not None and stochastic
         position_ids = jnp.broadcast_to(
             jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
-        hidden = emb_mod.apply({"params": params["embeddings"]},
-                               input_ids, jnp.zeros_like(input_ids),
-                               position_ids, True)
+        if stoch:
+            hidden = emb_mod.apply(
+                {"params": params["embeddings"]}, input_ids,
+                jnp.zeros_like(input_ids), position_ids, False,
+                rngs={"dropout": jax.random.fold_in(rng, cfg.num_layers)})
+        else:
+            hidden = emb_mod.apply({"params": params["embeddings"]},
+                                   input_ids, jnp.zeros_like(input_ids),
+                                   position_ids, True)
         bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
         bias = bias.astype(jnp.float32)
         mb = B // M
-        hidden = sharded_trunk(
+        trunk_rng = rng if stoch else jax.random.key(0)
+        hidden = trunks[stoch](
             params["stages"],
             hidden.reshape(M, mb, S, -1),
             bias.reshape(M, mb, 1, 1, S),
             attention_mask.reshape(M, mb, S),
+            trunk_rng,
         ).reshape(B, S, -1)
         pooled = POOLERS[cfg.pooling](hidden, attention_mask)
         if cfg.normalize:
@@ -193,7 +237,11 @@ def pp_params_from_encoder(encoder_params: Dict[str, Any],
     if mesh is not None:
         sh = NamedSharding(mesh, P(PIPE_AXIS))
         stages = jax.tree.map(lambda x: jax.device_put(x, sh), stages)
-    return {"embeddings": encoder_params["embeddings"], "stages": stages}
+    # copy (not alias) the embedding leaves: the PP train step donates its
+    # state, and donating aliased arrays would delete the caller's encoder
+    # params out from under them
+    emb = jax.tree.map(jnp.array, encoder_params["embeddings"])
+    return {"embeddings": emb, "stages": stages}
 
 
 def make_pp_train_step(cfg: EncoderConfig, loss_cfg, tx, mesh: Mesh,
@@ -202,27 +250,30 @@ def make_pp_train_step(cfg: EncoderConfig, loss_cfg, tx, mesh: Mesh,
 
     → ``step(state, input_ids (4, B, S), attention_mask, rng) ->
     (state, loss)`` where ``state`` is a TrainState whose params are the PP
-    layout ({"embeddings", "stages"}). The pipelined trunk runs dropout-free
-    (see module docstring); everything else matches the standard step.
+    layout ({"embeddings", "stages"}). With non-zero configured dropout
+    rates the trunk runs per-microbatch stochastic dropout from ``rng``
+    (reference training semantics); everything else matches the standard
+    step.
     """
     from qst_tpu.train.train_step import loss_from_config
 
     fwd = make_pp_embed_fn(cfg, mesh, n_stages, n_microbatches)
     loss_fn_inner = loss_from_config(loss_cfg)
+    stochastic = cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
 
-    def loss_fn(params, input_ids, attention_mask):
+    def loss_fn(params, input_ids, attention_mask, rng):
         four, B, S = input_ids.shape
         emb = fwd(params, input_ids.reshape(four * B, S),
-                  attention_mask.reshape(four * B, S))
+                  attention_mask.reshape(four * B, S),
+                  rng if stochastic else None)
         emb = emb.reshape(four, B, -1)
         return loss_fn_inner(emb[0], emb[1], emb[2], emb[3])
 
     import optax
 
     def step(state, input_ids, attention_mask, rng):
-        del rng  # pipelined trunk is deterministic
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, input_ids, attention_mask)
+            state.params, input_ids, attention_mask, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=new_params,

@@ -136,3 +136,127 @@ def test_pp_validation_errors(params):
     ids, mask = _batch(8)  # 8 % 3 != 0
     with pytest.raises(ValueError, match="microbatches"):
         fwd(pp_params, ids, mask)
+
+
+# ------------------------------------------------- stochastic (dropout) PP
+DCFG = dataclasses.replace(CFG, hidden_dropout=0.3, attention_dropout=0.2)
+
+
+def _sequential_dropout_twin(enc_params, ids, mask, rng, n_microbatches):
+    """Sequential forward drawing the EXACT same per-(microbatch, layer)
+    dropout keys the pipelined trunk derives (data shard 0):
+    fold_in(fold_in(fold_in(rng, 0), m), l); embeddings use
+    fold_in(rng, num_layers)."""
+    from qst_tpu.models.bert import BertEmbeddings, BertLayer
+    from qst_tpu.ops.distances import l2_normalize
+    from qst_tpu.ops.pooling import POOLERS
+
+    B, S = ids.shape
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+    hidden = BertEmbeddings(DCFG).apply(
+        {"params": enc_params["embeddings"]}, ids, jnp.zeros_like(ids), pos,
+        False, rngs={"dropout": jax.random.fold_in(rng, DCFG.num_layers)})
+    bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(
+        jnp.float32)
+    layer = BertLayer(DCFG)
+    rng0 = jax.random.fold_in(rng, 0)  # data-axis index 0
+    mb = B // n_microbatches
+    outs = []
+    for m in range(n_microbatches):
+        h = hidden[m * mb:(m + 1) * mb]
+        bi = bias[m * mb:(m + 1) * mb]
+        ma = mask[m * mb:(m + 1) * mb]
+        km = jax.random.fold_in(rng0, m)
+        for l in range(DCFG.num_layers):
+            h = layer.apply(
+                {"params": enc_params[f"layer_{l}"]}, h, bi, ma, False,
+                rngs={"dropout": jax.random.fold_in(km, l)})
+        outs.append(h)
+    hidden = jnp.concatenate(outs)
+    pooled = POOLERS[DCFG.pooling](hidden, mask)
+    return l2_normalize(pooled) if DCFG.normalize else pooled
+
+
+def test_pp_dropout_forward_matches_sequential_same_masks(params):
+    """PP WITH dropout must equal a sequential forward drawing identical
+    counter-derived masks — PP training now runs reference dropout rates."""
+    pipe, M = 2, 2
+    mesh = make_pipe_mesh(pipe, 1)
+    pp_params = pp_params_from_encoder(params["encoder"], DCFG, pipe, mesh)
+    fwd_pp = make_pp_embed_fn(DCFG, mesh, pipe, M)
+    ids, mask = _batch(4)
+    rng = jax.random.key(7)
+    out_pp = np.asarray(jax.jit(fwd_pp)(pp_params, ids, mask, rng))
+    out_ref = np.asarray(_sequential_dropout_twin(
+        params["encoder"], ids, mask, rng, M))
+    np.testing.assert_allclose(out_pp, out_ref, rtol=2e-5, atol=2e-5)
+    # two different keys must give different (stochastic) outputs
+    out_pp2 = np.asarray(jax.jit(fwd_pp)(pp_params, ids, mask,
+                                         jax.random.key(8)))
+    assert np.abs(out_pp2 - out_pp).max() > 1e-4
+    # rng=None stays the deterministic forward
+    det = np.asarray(jax.jit(fwd_pp)(pp_params, ids, mask))
+    det_cfg_fwd = jax.jit(embed_fn(DCFG))
+    np.testing.assert_allclose(
+        det, np.asarray(det_cfg_fwd(params, ids, mask)), rtol=2e-5,
+        atol=2e-5)
+
+
+def test_pp_dropout_gradients_match_sequential(params):
+    """Gradient parity WITH dropout: identical masks → identical grads."""
+    pipe, M = 2, 2
+    mesh = make_pipe_mesh(pipe, 1)
+    pp_params = pp_params_from_encoder(params["encoder"], DCFG, pipe, mesh)
+    fwd_pp = make_pp_embed_fn(DCFG, mesh, pipe, M)
+    ids, mask = _batch(4)
+    rng = jax.random.key(11)
+
+    def loss_pp(p):
+        return (fwd_pp(p, ids, mask, rng) ** 2).sum()
+
+    def loss_ref(p):
+        return (_sequential_dropout_twin(p, ids, mask, rng, M) ** 2).sum()
+
+    g_pp = jax.jit(jax.grad(loss_pp))(pp_params)
+    g_ref = jax.jit(jax.grad(loss_ref))(params["encoder"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+        g_pp["embeddings"], g_ref["embeddings"])
+    flat = unstack_stage_params(g_pp["stages"], DCFG.num_layers)
+    for i in range(DCFG.num_layers):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+            flat[f"layer_{i}"], g_ref[f"layer_{i}"])
+
+
+def test_pp_train_step_stochastic_learns(params):
+    """The PP train step at reference dropout rates (composed with DP) must
+    be stochastic in the rng and still optimize."""
+    from qst_tpu.train.train_step import TrainState, make_optimizer
+
+    pipe, M = 2, 2
+    mesh = make_pipe_mesh(pipe, 2)
+    pp_params = pp_params_from_encoder(params["encoder"], DCFG, pipe, mesh)
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-3,
+                       scheduler="constantlr")
+    loss_cfg = LossConfig(margin_pos_part=0.5, margin_part_neg=0.5)
+    tx = make_optimizer(tcfg, 100)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pp_params,
+                       opt_state=tx.init(pp_params))
+    step = make_pp_train_step(DCFG, loss_cfg, tx, mesh, pipe, M)
+    rng = np.random.default_rng(3)
+    S = DCFG.max_seq_length
+    ids = jnp.asarray(rng.integers(5, DCFG.vocab_size, (4, 8, S)), jnp.int32)
+    mask = jnp.ones((4, 8, S), jnp.int32)
+    # same state, different rng → different stochastic loss
+    _, l_a = step(jax.tree.map(jnp.copy, state), ids, mask, jax.random.key(0))
+    _, l_b = step(jax.tree.map(jnp.copy, state), ids, mask, jax.random.key(1))
+    assert abs(float(l_a) - float(l_b)) > 1e-6
+    losses = []
+    for i in range(8):
+        state, loss = step(state, ids, mask, jax.random.key(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
