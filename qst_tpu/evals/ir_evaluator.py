@@ -37,8 +37,16 @@ class InformationRetrievalEvaluator:
         mesh=None,
         log_dir: Optional[str] = None,
         name: str = "ir",
+        cache_corpus_index: bool = False,
     ):
+        """``cache_corpus_index=True`` builds the corpus index ONCE and
+        reuses it across ``__call__``s — only valid when the encoder is
+        frozen between calls (repeated evaluation of one model over many
+        query sets / epochs of an unchanged baseline); during training the
+        corpus embeddings change every call, so the default rebuilds."""
         cfg = cfg or IREvalConfig()
+        self._cache_corpus_index = cache_corpus_index
+        self._index: Optional[ExactIndex] = None
         # keep only queries that have at least one relevant doc
         self.query_ids = [q for q in queries if relevant.get(q)]
         if not self.query_ids:
@@ -60,10 +68,21 @@ class InformationRetrievalEvaluator:
 
     def __call__(self, encode_fn: EncodeFn, epoch: int = -1,
                  steps: int = -1) -> float:
+        from qst_tpu.retrieval.retriever import encode_keep_device
+
         cfg = self.cfg
-        q_emb = np.asarray(encode_fn(self.queries), dtype=np.float32)
-        c_emb = np.asarray(encode_fn(self.corpus_texts), dtype=np.float32)
-        index = ExactIndex(c_emb, ids=self.corpus_ids, mesh=self.mesh)
+        # device-resident handoff: embeddings flow encoder → index without
+        # the device→host→device numpy relay (at the reference-default 50k
+        # corpus the ~40 MB/s dev-relay transfer dominated evaluation
+        # wall-clock — same handoff as the index CLI; benchmarks/RESULTS.md)
+        q_emb = encode_keep_device(encode_fn, self.queries)
+        if self._index is not None and self._cache_corpus_index:
+            index = self._index
+        else:
+            c_emb = encode_keep_device(encode_fn, self.corpus_texts)
+            index = ExactIndex(c_emb, ids=self.corpus_ids, mesh=self.mesh)
+            if self._cache_corpus_index:
+                self._index = index
 
         k = min(self.max_k, len(self.corpus_ids))
         self.last_results: Dict[str, Dict[str, float]] = {}

@@ -44,32 +44,39 @@ def load_index(path: str, mesh=None) -> Tuple[ExactIndex, dict]:
     return ExactIndex(emb, ids=ids, mesh=mesh), meta
 
 
-def _encode_device(encoder: Any, texts: list):
-    """Encode keeping embeddings on device when the encoder supports it
-    (SentenceEncoder's ``convert_to_numpy=False``); plain ``encode(texts)``
-    encoders (the duck-typed contract) still work. An EXPLICIT
-    ``convert_to_numpy`` parameter is trusted outright; a bare ``**kwargs``
-    only gets one guarded attempt (a duck-typed encoder that forwards
-    kwargs strictly would otherwise raise at call time), and the retry is
-    issued before any encode work happens so nothing is silently re-run."""
+def encode_keep_device(encode: Any, texts: list):
+    """Call an encode FUNCTION keeping embeddings on device when it
+    supports it (SentenceEncoder's ``convert_to_numpy=False``); plain
+    ``encode(texts)`` callables (the duck-typed contract) still work. An
+    EXPLICIT ``convert_to_numpy`` parameter is trusted outright; a bare
+    ``**kwargs`` only gets one guarded attempt (a duck-typed encoder that
+    forwards kwargs strictly would otherwise raise at call time), and the
+    retry is issued before any encode work happens so nothing is silently
+    re-run."""
     import inspect
 
     explicit = var_kw = False
     try:
-        params = inspect.signature(encoder.encode).parameters
+        params = inspect.signature(encode).parameters
         explicit = "convert_to_numpy" in params
         var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
                      for p in params.values())
     except (TypeError, ValueError):  # builtins / C callables
         pass
     if explicit:
-        return encoder.encode(texts, convert_to_numpy=False)
+        return encode(texts, convert_to_numpy=False)
     if var_kw:
         try:
-            return encoder.encode(texts, convert_to_numpy=False)
+            return encode(texts, convert_to_numpy=False)
         except TypeError:
-            return encoder.encode(texts)
-    return encoder.encode(texts)
+            return encode(texts)
+    return encode(texts)
+
+
+def _encode_device(encoder: Any, texts: list):
+    """Encode via an encoder OBJECT's ``.encode``, device-resident when
+    supported (see :func:`encode_keep_device`)."""
+    return encode_keep_device(encoder.encode, texts)
 
 
 class Retriever:

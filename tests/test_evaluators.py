@@ -266,3 +266,36 @@ def test_cross_encoder_labeling_is_batched():
         num = qid[1:]
         assert docs == {f"pos{num}_0"} | (
             {f"ref{num}"} if f"ref{num}" in out.corpus else set())
+
+
+def test_ir_evaluator_device_resident_and_cached_index():
+    """A convert_to_numpy-aware encode_fn must hand DEVICE arrays to the
+    index (no host relay), and cache_corpus_index must reuse the index —
+    the encoder is then only called for queries."""
+    import jax.numpy as jnp
+
+    queries = {"q1": "alpha beta", "q2": "gamma delta"}
+    corpus = {f"c{i}": f"doc number {i} alpha" for i in range(6)}
+    corpus["c0"] = "alpha beta"          # exact match for q1
+    corpus["c1"] = "gamma delta"         # exact match for q2
+    relevant = {"q1": {"c0"}, "q2": {"c1"}}
+    cfg = IREvalConfig(accuracy_at_k=(1,), precision_recall_at_k=(1,),
+                       mrr_at_k=(1,), ndcg_at_k=(1,), map_at_k=(1,),
+                       score_functions=("cos_sim",))
+    calls = []
+
+    def encode(texts, convert_to_numpy=True):
+        calls.append(len(texts))
+        emb = hash_embed(list(texts))
+        return jnp.asarray(emb) if not convert_to_numpy else emb
+
+    ev = InformationRetrievalEvaluator(queries, corpus, relevant, cfg=cfg,
+                                       cache_corpus_index=True)
+    s1 = ev(encode)
+    assert s1 == 1.0
+    n_after_first = len(calls)
+    assert n_after_first == 2             # queries + corpus
+    s2 = ev(encode)
+    assert s2 == s1
+    # second call reused the cached corpus index: only queries re-encoded
+    assert len(calls) == n_after_first + 1
