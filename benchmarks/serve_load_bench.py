@@ -1,0 +1,146 @@
+"""Serving layer under concurrency: batched QPS, tail latency, batch sizes.
+
+VERDICT r2 #6: the only HTTP number so far was one warm 98 ms search. This
+drives RetrievalServer with N concurrent clients issuing mixed-k searches
+over a 1M x 384 bf16 index (the headline serving corpus), reporting:
+
+- end-to-end HTTP QPS and p50/p95/p99 request latency,
+- the DynamicBatcher's realized batch-size distribution,
+- the direct `ExactIndex.search_stream` device bound on the same index
+  (what the HTTP + batching layers wrap), measured in the SAME process.
+
+Usage: PYTHONPATH=/root/repo python benchmarks/serve_load_bench.py \
+    [--clients 64] [--seconds 20] [--n_docs 1000000]
+"""
+
+import argparse
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from qst_tpu.core.config import EncoderConfig
+from qst_tpu.models.sentence_encoder import SentenceEncoder, init_params
+from qst_tpu.models.tokenizer import HashTokenizer
+from qst_tpu.ops.distances import l2_normalize
+from qst_tpu.retrieval import ExactIndex, Retriever
+from qst_tpu.serve.server import RetrievalServer
+
+WORDS = ("cat dog car road mat park plane sky beach sand red small "
+         "young pasta sauce cloud scene variant river tree").split()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--n_docs", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=384)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    cfg = EncoderConfig.minilm_l6()
+    enc = SentenceEncoder(cfg, init_params(cfg, jax.random.key(0)),
+                          HashTokenizer(vocab_size=cfg.vocab_size))
+
+    # index over random unit bf16 embeddings (the serving configuration);
+    # doc texts skipped — search returns ids+scores
+    emb = jax.random.normal(jax.random.key(1), (args.n_docs, args.dim),
+                            jnp.bfloat16)
+    emb = jax.jit(lambda x: l2_normalize(
+        x.astype(jnp.float32)).astype(jnp.bfloat16))(emb)
+    retr = Retriever(enc, score="dot_score")
+    retr.index = ExactIndex(emb, normalize=False, dtype="bfloat16")
+
+    server = RetrievalServer(retr, max_batch=256, max_wait_s=0.005)
+    # record realized batch sizes
+    batch_sizes = []
+    orig = server._search_batch
+
+    def recording(payloads):
+        batch_sizes.append(len(payloads))
+        return orig(payloads)
+
+    server._search_batcher._batch_fn = recording
+    port = server.start()
+    url = f"http://127.0.0.1:{port}/search"
+
+    def post(payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    # warm every k shape once (the k=max-over-batch policy compiles per k)
+    ks = (5, 10, 32, 64)
+    for k in ks:
+        post({"queries": ["warm up " + " ".join(
+            rng.choice(WORDS, 5))], "k": k})
+
+    lat = []
+    lock = threading.Lock()
+    stop_at = time.perf_counter() + args.seconds
+
+    def client(seed):
+        r = np.random.default_rng(seed)
+        my = []
+        while time.perf_counter() < stop_at:
+            q = " ".join(r.choice(WORDS, 6))
+            k = int(r.choice(ks))
+            t0 = time.perf_counter()
+            out = post({"queries": [q], "k": k})
+            my.append(time.perf_counter() - t0)
+            assert len(out["results"][0]) == k
+        with lock:
+            lat.extend(my)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    bs = np.asarray(batch_sizes[len(ks):])  # drop warmup batches
+    print(f"clients={args.clients} reqs={len(lat)} wall={wall:.1f}s "
+          f"-> {len(lat) / wall:.0f} req/s (1 query/req)")
+    print(f"latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
+          f"p95 {np.percentile(lat_ms, 95):.1f} "
+          f"p99 {np.percentile(lat_ms, 99):.1f} max {lat_ms[-1]:.1f}")
+    if bs.size:
+        print(f"batch sizes: mean {bs.mean():.1f} p50 "
+              f"{np.percentile(bs, 50):.0f} max {bs.max()} over "
+              f"{bs.size} device calls")
+
+    # direct device bound: pipelined search_stream on the same index with
+    # pre-encoded queries at the batcher's realized mean batch size
+    B = max(1, int(bs.mean())) if bs.size else 64
+    qtexts = [" ".join(rng.choice(WORDS, 6)) for _ in range(B)]
+    q_emb = np.asarray(enc.encode(qtexts))
+    n_batches = 50
+    it = (q_emb for _ in range(n_batches))
+    list(retr.index.search_stream((q_emb,), k=64))  # warm
+    t0 = time.perf_counter()
+    for _ in retr.index.search_stream(it, k=64, depth=4):
+        pass
+    direct = time.perf_counter() - t0
+    print(f"direct search_stream bound @ Q={B}: "
+          f"{B * n_batches / direct:.0f} QPS "
+          f"({direct / n_batches * 1e3:.1f} ms/batch)")
+    server.stop()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,63 @@ def test_ivf_validation(clustered_corpus):
         IVFIndex(clustered_corpus, n_clusters=4, ids=[1, 2])
 
 
+def test_ivf_sharded_matches_single_device(clustered_corpus, mesh8):
+    """Cell-sharded search (shard_map + ICI candidate merge) must return
+    identical results to the single-device probe scan."""
+    rng = np.random.default_rng(3)
+    queries = rng.standard_normal((9, 32)).astype(np.float32)
+    single = IVFIndex(clustered_corpus, n_clusters=16, seed=0)
+    sharded = IVFIndex(clustered_corpus, n_clusters=16, seed=0, mesh=mesh8)
+    for n_probe in (2, 5, 16):
+        s0, i0 = single.search(queries, k=7, n_probe=n_probe)
+        s1, i1 = sharded.search(queries, k=7, n_probe=n_probe)
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-6)
+        assert i1 == i0, f"sharded ids diverge at n_probe={n_probe}"
+
+
+def test_ivf_bf16_cells(clustered_corpus):
+    """bf16 cell storage: a query equal to a stored doc must retrieve that
+    doc top-1 (blob members are near-ties whose order may legitimately
+    shuffle under bf16 quantization, so only top-1 identity is asserted)."""
+    rng = np.random.default_rng(4)
+    pick = rng.choice(len(clustered_corpus), 16, replace=False)
+    queries = clustered_corpus[pick]
+    b16 = IVFIndex(clustered_corpus, n_clusters=16, seed=0, dtype="bfloat16")
+    assert b16.cells.dtype == jnp.bfloat16
+    _, ids_b = b16.search(queries, k=5, n_probe=4)
+    top1 = np.array([row[0] for row in ids_b])
+    assert (top1 == pick).mean() > 0.9
+
+
+def test_ivf_device_array_input(clustered_corpus):
+    """A device-resident corpus must build without a host round-trip and
+    search identically to the host-array build."""
+    host = IVFIndex(clustered_corpus, n_clusters=16, seed=0)
+    dev = IVFIndex(jnp.asarray(clustered_corpus), n_clusters=16, seed=0)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    s0, i0 = host.search(q, k=5)
+    s1, i1 = dev.search(q, k=5)
+    np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-6)
+    assert i0 == i1
+
+
+def test_ivf_budget_exhaustion_raises(clustered_corpus):
+    with pytest.raises(RuntimeError, match="cell budget"):
+        IVFIndex(clustered_corpus, n_clusters=16, cell_budget=8,
+                 spill_rounds=2)
+
+
+def test_ivf_small_budget_spills_nothing_dropped(clustered_corpus):
+    """A tight budget must spill overflow docs to next-best cells, keep
+    every doc searchable, and report the spill count."""
+    ivf = IVFIndex(clustered_corpus, n_clusters=16, cell_budget=70,
+                   spill_rounds=16, seed=0)
+    stored = set(int(j) for j in np.asarray(ivf.cell_ids).ravel() if j >= 0)
+    assert stored == set(range(len(clustered_corpus)))
+    assert ivf.spilled > 0
+
+
 def test_ivf_search_stream_matches_search(rng):
     corpus = rng.standard_normal((400, 16)).astype(np.float32)
     idx = IVFIndex(corpus, n_clusters=8, seed=0)
@@ -77,3 +134,20 @@ def test_ivf_search_stream_matches_search(rng):
         assert ids == eids
     with pytest.raises(ValueError, match="depth"):
         list(idx.search_stream(batches[:1], depth=0))
+
+
+def test_ivf_pallas_backend_matches_xla(clustered_corpus):
+    """The dynamic-DMA cell scorer (interpret mode on CPU) must reproduce
+    the XLA probe-gather path exactly, including padded-slot masking."""
+    rng = np.random.default_rng(6)
+    queries = rng.standard_normal((11, 32)).astype(np.float32)
+    ivf = IVFIndex(clustered_corpus, n_clusters=16, seed=0)
+    assert ivf.cell_budget % 128 == 0     # auto budget aligned
+    for n_probe in (2, 4, 16):
+        s_x, i_x = ivf.search(queries, k=7, n_probe=n_probe, backend="xla")
+        s_p, i_p = ivf.search(queries, k=7, n_probe=n_probe,
+                              backend="pallas")
+        np.testing.assert_allclose(s_p, s_x, rtol=1e-5, atol=1e-6)
+        assert i_p == i_x, f"pallas ids diverge at n_probe={n_probe}"
+    with pytest.raises(ValueError, match="backend"):
+        ivf.search(queries, backend="nope")
