@@ -52,7 +52,7 @@ def main():
     ap.add_argument("--host_corpus", action="store_true",
                     help="build from a HOST-resident corpus (cells-only "
                     "HBM; the scalable >HBM build path)")
-    ap.add_argument("--n_blobs", type=int, default=4096,
+    ap.add_argument("--n_blobs", type=int, default=1024,
                     help="cluster blobs in the synthetic corpus; IVF "
                     "presumes corpus structure at roughly the cell scale")
     args = ap.parse_args()
@@ -114,12 +114,11 @@ def main():
           f"{cells_gb:.1f} GB, spilled={ivf.spilled})", flush=True)
     del corpus_for_build
 
-    qn_np = np.asarray(qn)
     # IVF wins in the SMALL-batch serving regime (per-query DMA is
     # n_probe*L*D bytes vs exact's one corpus stream for ALL queries) —
     # sweep Q and n_probe for both backends
     for Q in (64, 256, args.q):
-        sub = qn_np[:Q]
+        sub = qn[:Q]           # device f32, like the serving encode handoff
         sub16 = qn16[:Q]
         # exact reference at this Q
         np.asarray(pallas_topk_v2(sub16, corpus_dev, args.k)[0]) \
@@ -133,7 +132,7 @@ def main():
             print(f"Q={Q:5d} exact:   {min(ts)*1e3:7.1f} ms -> "
                   f"{Q/min(ts):7.0f} QPS", flush=True)
         for backend in ("pallas", "xla"):
-            for n_probe in (4, 16):
+            for n_probe in (4, 16, 64):
                 try:
                     s, ids = ivf.search(sub, k=args.k, n_probe=n_probe,
                                         backend=backend)   # warm
@@ -154,6 +153,48 @@ def main():
                 print(f"Q={Q:5d} {backend:6s} n_probe={n_probe:3d}: "
                       f"recall@{args.k} {recall:.3f}, {best*1e3:7.1f} ms "
                       f"-> {Q/best:7.0f} QPS", flush=True)
+    # pipelined serving comparison at the small-batch regime (the relay
+    # round-trip dominates per-call numbers; depth-4 streams amortize it)
+    Q = 64
+    sub = qn[:Q]
+    sub16 = qn16[:Q]
+    BATCHES = 40
+    if corpus_dev is not None:
+        pend = []
+        for _ in range(4):
+            np.asarray(pallas_topk_v2(sub16, corpus_dev, args.k)[0][:1])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pend = []
+            for _ in range(BATCHES):
+                pend.append(pallas_topk_v2(sub16, corpus_dev, args.k))
+                if len(pend) >= 4:
+                    np.asarray(pend.pop(0)[0][:1, :1])
+            while pend:
+                np.asarray(pend.pop(0)[0][:1, :1])
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        print(f"stream Q={Q} exact:        {Q*BATCHES/best:8.0f} QPS "
+              f"({best/BATCHES*1e3:6.2f} ms/batch)", flush=True)
+    for n_probe in (4, 16):
+        list(ivf.search_stream((sub for _ in range(4)), k=args.k,
+                               n_probe=n_probe, backend="pallas"))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            got = list(ivf.search_stream((sub for _ in range(BATCHES)),
+                                         k=args.k, n_probe=n_probe,
+                                         backend="pallas", depth=4))
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        ids = got[0][1]
+        rec = np.mean([len(truth[j] & set(x for x in ids[j]
+                                          if x is not None)) / args.k
+                       for j in range(Q)])
+        print(f"stream Q={Q} ivf P={n_probe:2d}:   {Q*BATCHES/best:8.0f} QPS "
+              f"({best/BATCHES*1e3:6.2f} ms/batch, recall {rec:.3f})",
+              flush=True)
     print("done")
 
 

@@ -45,7 +45,7 @@ def _cell_score_kernel(probe_ref, q_ref, *cell_refs_and_out, qr: int):
     out_ref[:] = acc
 
 
-def ivf_cell_scores_fn(interpret: bool = False, qr: int = 32):
+def ivf_cell_scores_fn(interpret: bool = False, qr: int = 8):
     """Build the jitted probed-cell scorer.
 
     → ``fn(queries (Q, D), cells (C, L, D), probe (Q, P)) → (Q, P·L)`` f32

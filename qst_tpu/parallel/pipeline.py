@@ -138,8 +138,19 @@ def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
             valid = (m >= 0) & (m < M)
             mc = jnp.clip(m, 0, M - 1)
             x = jnp.where(p == 0, mb_hidden[mc], buf)
-            y = apply_stage(sp, x, mb_bias[mc], mb_mask[mc],
-                            jax.random.fold_in(rng_l, mc))
+            # bubble ticks SKIP the stage compute (lax.cond is legal here:
+            # apply_stage has no collectives, so per-device divergence
+            # during fill/drain is fine — the ppermute below is outside the
+            # cond and every device still participates). Wall-clock per
+            # tick is set by the busiest stage either way; the cond saves
+            # the (n_stages-1)/(M+n_stages-1) fraction of don't-care FLOPs
+            # (energy on TPU, real time on the shared-core CPU test mesh).
+            y = jax.lax.cond(
+                valid,
+                lambda x: apply_stage(sp, x, mb_bias[mc], mb_mask[mc],
+                                      jax.random.fold_in(rng_l, mc)),
+                lambda x: x,
+                x)
             outs = jnp.where((p == last) & valid,
                              outs.at[mc].set(y), outs)
             # activations hop stage p → p+1 (last stage's send is dropped)

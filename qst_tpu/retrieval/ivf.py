@@ -322,13 +322,25 @@ class IVFIndex:
         self.centroids = centroids
 
         # 2) chunked full-corpus assignment: only the (N, R) int32 choice
-        #    table reaches the host
+        #    table reaches the host. The (chunk, C) f32 similarity transient
+        #    is the peak-memory driver — bound it to ~1 GB (at C=2048 a
+        #    1M-row chunk is an 8 GB transient: instant OOM next to a
+        #    device-resident corpus)
         n_choices = min(spill_rounds, n_clusters)
+        assign_chunk = min(assign_chunk,
+                           max(8192, (1 << 30) // (4 * n_clusters)))
         choices = np.empty((n, n_choices), np.int32)
+        pending: List[Tuple[int, int, jax.Array]] = []
         for lo in range(0, n, assign_chunk):
             hi = min(lo + assign_chunk, n)
-            choices[lo:hi] = np.asarray(_assign_choices(
-                jnp.asarray(emb[lo:hi]), centroids, n_choices))
+            pending.append((lo, hi, _assign_choices(
+                jnp.asarray(emb[lo:hi]), centroids, n_choices)))
+            if len(pending) >= 2:   # overlap: 2 in-flight bounds the
+                                    # (chunk, C) f32 transients to ~2 GB
+                plo, phi, dev = pending.pop(0)
+                choices[plo:phi] = np.asarray(dev)
+        for plo, phi, dev in pending:
+            choices[plo:phi] = np.asarray(dev)
 
         # 3) budget from the sample's cell-size distribution (the round-2
         #    exact bincount needs the full assignment anyway — the first
@@ -417,10 +429,20 @@ class IVFIndex:
         return _ivf_search(q, self.centroids, self.cells, self.cell_ids,
                            n_probe, k)
 
-    GATHER_BUDGET_BYTES = 1 << 30  # bounds the (Q, L, D) probe gather
+    GATHER_BUDGET_BYTES = 1 << 30  # bounds the XLA (Q, L, D) probe gather
+    SCORES_BUDGET_BYTES = 1 << 29  # bounds the Pallas (Q, P·L) f32 scores
 
-    @property
-    def _q_chunk(self) -> int:
+    def _q_chunk(self, backend: str, n_probe: int) -> int:
+        """Per-dispatch query chunk. The XLA path materializes a (Q, L, D)
+        probe gather → bound by GATHER_BUDGET; the Pallas scorer only
+        materializes the (Q, P·L) f32 scores → a far larger chunk (each
+        dispatch costs a full host round-trip, so over-chunking is the
+        dominant loss at serving batch sizes)."""
+        use_pallas = (backend == "pallas"
+                      or (backend == "auto" and self._pallas_eligible()))
+        if use_pallas:
+            row = n_probe * self.cell_budget * 4
+            return max(8, min(8192, self.SCORES_BUDGET_BYTES // row))
         row = self.cell_budget * self.cells.shape[-1] * self.cells.dtype.itemsize
         return max(8, min(1024, self.GATHER_BUDGET_BYTES // row))
 
@@ -432,11 +454,13 @@ class IVFIndex:
         "xla" force one (pallas runs interpreted on CPU)."""
         n_probe = min(n_probe, self.centroids.shape[0])
         q = jnp.asarray(queries, jnp.float32)
-        outs = [self._device_search(q[lo:lo + self._q_chunk], k, n_probe,
-                                    backend)
-                for lo in range(0, q.shape[0], self._q_chunk)]
-        s = np.concatenate([np.asarray(o[0]) for o in outs])
-        i = np.concatenate([np.asarray(o[1]) for o in outs])
+        chunk = self._q_chunk(backend, n_probe)
+        from qst_tpu.retrieval.index import fetch_pair
+        outs = [self._device_search(q[lo:lo + chunk], k, n_probe, backend)
+                for lo in range(0, q.shape[0], chunk)]
+        pairs = [fetch_pair(*o) for o in outs]
+        s = np.concatenate([p[0] for p in pairs])
+        i = np.concatenate([p[1] for p in pairs])
         ids = [[self.ids[j] if j >= 0 else None for j in row] for row in i]
         return s, ids
 
@@ -450,17 +474,18 @@ class IVFIndex:
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         n_probe = min(n_probe, self.centroids.shape[0])
+        from qst_tpu.retrieval.index import _pack_pair, _unpack_host
 
-        def finish(pair):
-            s, i = np.asarray(pair[0]), np.asarray(pair[1])
+        def finish(packed):
+            s, i = _unpack_host(np.asarray(packed))
             ids = [[self.ids[j] if j >= 0 else None for j in row]
                    for row in i]
             return s, ids
 
         pending: List = []
         for q in query_batches:
-            pending.append(self._device_search(
-                jnp.asarray(q, jnp.float32), k, n_probe, backend))
+            pending.append(_pack_pair(*self._device_search(
+                jnp.asarray(q, jnp.float32), k, n_probe, backend)))
             if len(pending) >= depth:
                 yield finish(pending.pop(0))
         while pending:

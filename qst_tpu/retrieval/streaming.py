@@ -170,7 +170,8 @@ class StreamingExactIndex:
                 k=k, use_pallas=use_pallas, normalize=normalize,
                 interpret=interpret)
             buf = nxt
-        return np.asarray(carry_s), np.asarray(carry_i)
+        from qst_tpu.retrieval.index import fetch_pair
+        return fetch_pair(carry_s, carry_i)
 
     def search_ids(self, queries, k: int = 10, score: str = "cos_sim"):
         """→ (scores, doc-id lists) using external ids when provided."""

@@ -189,3 +189,20 @@ def test_cos_corpus_normalized_once(rng, monkeypatch):
     idx.search(q, k=2)
     # second call normalizes only the queries, not the corpus again
     assert calls["n"] == first + 1
+
+
+def test_pack_pair_round_trip_exact():
+    # the one-transfer (scores, ids) pack must be bit-exact: ids stay in
+    # the int32 domain (an f32 bitcast would make ids < 2^23 denormal bit
+    # patterns, which TPU float paths flush to zero — regression guard)
+    from qst_tpu.retrieval.index import _pack_pair, _unpack_host, fetch_pair
+
+    s = np.array([[0.5, -1e-30, np.inf], [1e30, -0.0, 3.25]], np.float32)
+    i = np.array([[0, 1, 2], [4_000_000, 2**30, 7]], np.int32)
+    ss, ii = _unpack_host(np.asarray(_pack_pair(jnp.asarray(s),
+                                                jnp.asarray(i))))
+    np.testing.assert_array_equal(ii, i)
+    np.testing.assert_array_equal(ss, s)
+    ss2, ii2 = fetch_pair(jnp.asarray(s), jnp.asarray(i))
+    np.testing.assert_array_equal(ii2, i)
+    np.testing.assert_array_equal(ss2, s)
