@@ -73,18 +73,30 @@ def main():
     port = server.start()
     url = f"http://127.0.0.1:{port}/search"
 
-    def post(payload):
+    def post(payload, timeout=120):
         req = urllib.request.Request(
             url, data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=120) as r:
-            return json.loads(r.read())
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(f"HTTP {e.code}: {e.read().decode()}") from e
 
-    # warm every k shape once (the k=max-over-batch policy compiles per k)
+    # warm every compile shape the load phase can realize: the server
+    # buckets both batch size and k to powers of two, so the shape set is
+    # (B in 8..max_batch) x (k-bucket). Warm through _search_batch directly
+    # (warmup is not part of the measurement; fresh remote compiles can
+    # take minutes each).
     ks = (5, 10, 32, 64)
-    for k in ks:
-        post({"queries": ["warm up " + " ".join(
-            rng.choice(WORDS, 5))], "k": k})
+    t0 = time.perf_counter()
+    for k in sorted({server._bucket(k, 128) for k in ks}):
+        for B in (8, 16, 32, 64, 128, 256):
+            payloads = [(" ".join(rng.choice(WORDS, 6)), k, False)] * B
+            server._search_batch(payloads)
+    print(f"warmed all (B, k) shapes in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+    post({"queries": ["warm up http path"], "k": 10}, timeout=1800)
 
     lat = []
     lock = threading.Lock()
@@ -112,7 +124,7 @@ def main():
         t.join()
     wall = time.perf_counter() - t0
     lat_ms = np.sort(np.asarray(lat)) * 1e3
-    bs = np.asarray(batch_sizes[len(ks):])  # drop warmup batches
+    bs = np.asarray(batch_sizes[1:])  # drop the one HTTP warmup batch
     print(f"clients={args.clients} reqs={len(lat)} wall={wall:.1f}s "
           f"-> {len(lat) / wall:.0f} req/s (1 query/req)")
     print(f"latency ms: p50 {np.percentile(lat_ms, 50):.1f} "

@@ -209,20 +209,40 @@ def _hierarchical_top_buckets(bm: jax.Array, k: int) -> jax.Array:
 
 QR = 8  # query rows per grid step (the Mosaic min sublane tile)
 
+# Scoped-VMEM budget for the rescore kernel's QR·ks corpus aliases. The
+# v5e scoped-vmem stack limit is 16 MB and Mosaic DOUBLE-BUFFERS every
+# alias block across grid steps; each alias is a (BUCKET, D) block, so at
+# k=10/D=384/bf16 the 80 aliases cost 2·7.7 = 15.4 MB — but k=32 in one
+# step would need 2·24 MB and abort the Mosaic compile (found by the
+# serving load test: the server warms k up to 64). Large k therefore
+# splits its bucket slots across a SECOND grid dimension (ks slots per
+# step) instead of shrinking the query rows — sub-8-row blocks are not
+# sublane-legal.
+_RESCORE_VMEM_BUDGET = 15 << 20
 
-def _rescore_kernel(ids_ref, q_ref, *doc_refs_and_out, k: int):
-    """Grid step = QR queries: score each against its k winning buckets.
+
+def _rescore_slots(k: int, d: int, itemsize: int) -> int:
+    """Largest divisor of k whose double-buffered QR·ks alias footprint
+    fits the scoped-vmem budget."""
+    per_alias = BUCKET * d * itemsize
+    max_slots = max(1, _RESCORE_VMEM_BUDGET // (2 * QR * per_alias))
+    return max(s for s in range(1, min(k, max_slots) + 1) if k % s == 0)
+
+
+def _rescore_kernel(ids_ref, q_ref, *doc_refs_and_out, ks: int):
+    """Grid step = (QR queries, ks bucket slots): score each query row
+    against its ks winning buckets of this slot block.
 
     ``ids_ref`` is the scalar-prefetched (k, Q) bucket-id table; each of
-    the QR·k corpus aliases fetches one (BUCKET, D) bucket block whose
+    the QR·ks corpus aliases fetches one (BUCKET, D) bucket block whose
     index comes from that table (dynamic DMA via BlockSpec index_map — the
     gather the XLA version spent ~72 ms on runs here at DMA speed). Alias
-    jj serves query row jj//k, bucket slot jj%k — both static, so every
-    write is a statically-indexed column slice merged with a row-index
-    mask. Batching QR queries per step is the round-2 latency fix: the
-    one-query-per-step version issued the same DMAs across 8× more grid
-    steps and was step-latency-bound (74.8 → 34.3 ms/call measured at
-    Q=4096, k=10, 1M docs).
+    jj serves query row jj//ks, in-block slot jj%ks — both static, so
+    every write is a statically-indexed column slice merged with a
+    row-index mask. Batching QR queries per step is the round-2 latency
+    fix: the one-query-per-step version issued the same DMAs across 8×
+    more grid steps and was step-latency-bound (74.8 → 34.3 ms/call
+    measured at Q=4096, k=10, 1M docs).
 
     Mosaic cannot prove dynamic sublane indices are tile-aligned, so a row
     is never sliced dynamically: ALL QR rows are scored against each alias
@@ -231,7 +251,7 @@ def _rescore_kernel(ids_ref, q_ref, *doc_refs_and_out, k: int):
     q = q_ref[:]  # (QR, D)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (QR, BUCKET), 0)
     for jj, d_ref in enumerate(doc_refs):
-        row, slot = jj // k, jj % k
+        row, slot = jj // ks, jj % ks
         s = jax.lax.dot_general(
             q, d_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -253,6 +273,7 @@ def rescore_buckets(queries: jax.Array, corpus_padded: jax.Array,
             f"queries dim {D} != corpus dim {corpus_padded.shape[1]}")
     compute_dtype = (jnp.bfloat16 if corpus_padded.dtype == jnp.bfloat16
                      else jnp.float32)
+    ks = _rescore_slots(k, D, jnp.dtype(compute_dtype).itemsize)
     q_pad = ((Q + QR - 1) // QR) * QR
     queries = _pad_to(queries, q_pad).astype(compute_dtype)
     if bucket_ids.shape[0] != q_pad:
@@ -265,29 +286,30 @@ def rescore_buckets(queries: jax.Array, corpus_padded: jax.Array,
     # k -> 128 and overflows the 1 MB SMEM budget at Q=4096)
     doc_spec = [
         pl.BlockSpec((BUCKET, D),
-                     (lambda g, ids, jj=jj: (ids[jj % k, g * QR + jj // k],
-                                             0)),
+                     (lambda g, sb, ids, jj=jj:
+                      (ids[sb * ks + jj % ks, g * QR + jj // ks], 0)),
                      memory_space=pltpu.VMEM)
-        for jj in range(QR * k)
+        for jj in range(QR * ks)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(q_pad // QR,),
+        grid=(q_pad // QR, k // ks),
         in_specs=[
-            pl.BlockSpec((QR, D), lambda g, ids: (g, 0),
+            pl.BlockSpec((QR, D), lambda g, sb, ids: (g, 0),
                          memory_space=pltpu.VMEM),
             *doc_spec,
         ],
-        out_specs=pl.BlockSpec((QR, k * BUCKET), lambda g, ids: (g, 0),
+        out_specs=pl.BlockSpec((QR, ks * BUCKET),
+                               lambda g, sb, ids: (g, sb),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_rescore_kernel, k=k),
+        functools.partial(_rescore_kernel, ks=ks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q_pad, k * BUCKET), jnp.float32),
         interpret=interpret,
     )(bucket_ids.T.astype(jnp.int32), queries,
-      *([corpus_padded] * (QR * k)))
+      *([corpus_padded] * (QR * ks)))
     return out[:Q]
 
 

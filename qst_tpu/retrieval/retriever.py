@@ -97,6 +97,15 @@ class Retriever:
         self.reranker = reranker
         self.index: Optional[ExactIndex] = None
         self._doc_texts: List[str] = []
+        self._pos_of: Optional[dict] = None
+
+    def _pos(self) -> dict:
+        """id → corpus position, built once per index (constructing a
+        1M-entry dict per search call costs ~150 ms of pure Python — it
+        dominated the serving load test before being cached)."""
+        if self._pos_of is None:
+            self._pos_of = {i: p for p, i in enumerate(self.index.ids)}
+        return self._pos_of
 
     def build(self, docs: Sequence[str],
               ids: Optional[Sequence] = None) -> "Retriever":
@@ -107,6 +116,7 @@ class Retriever:
         self.index = ExactIndex(emb, ids=list(ids) if ids is not None
                                 else list(range(len(docs))), mesh=self.mesh)
         self._doc_texts = list(docs)
+        self._pos_of = None
         return self
 
     def save(self, path: str) -> None:
@@ -119,6 +129,7 @@ class Retriever:
 
     def load(self, path: str) -> "Retriever":
         self.index, meta = load_index(path, mesh=self.mesh)
+        self._pos_of = None
         docs_path = os.path.join(path, "docs.json")
         if os.path.isfile(docs_path):
             with open(docs_path) as f:
@@ -141,7 +152,7 @@ class Retriever:
             raise RuntimeError("no index built or loaded")
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
-        pos_of = {i: p for p, i in enumerate(self.index.ids)}
+        pos_of = self._pos() if (return_texts and self._doc_texts) else None
 
         def finish(item):
             s_dev, i_dev = item
@@ -189,7 +200,9 @@ class Retriever:
         fetch_k = max(k, rerank_k) if rerank_k else k
         scores, ids = self.index.search_ids(q_emb, k=fetch_k, score=self.score)
 
-        pos_of = {i: p for p, i in enumerate(self.index.ids)}
+        pos_of = (self._pos() if (rerank_k or
+                                  (return_texts and self._doc_texts))
+                  else None)
         out = []
         for qi, query in enumerate(queries):
             cand = list(zip(ids[qi], [float(s) for s in scores[qi]]))

@@ -26,6 +26,14 @@ import numpy as np
 from qst_tpu.serve.batcher import DynamicBatcher
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5; a burst of N concurrent clients
+    # (the DynamicBatcher's whole point) overflows it and resets
+    # connections — seen as dropped clients at 64-way load
+    # (benchmarks/serve_load_bench.py).
+    request_queue_size = 1024
+
+
 class RetrievalServer:
     """Wrap a built/loaded ``Retriever`` in an HTTP server.
 
@@ -43,6 +51,7 @@ class RetrievalServer:
         self.retriever = retriever
         self._host, self._port = host, port
         self._k_max = k_max
+        self._max_batch = max_batch
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         # one batcher per endpoint: payloads are (query, k, return_texts)
@@ -53,23 +62,40 @@ class RetrievalServer:
             self._encode_batch, max_batch=max_batch, max_wait_s=max_wait_s)
 
     # ---------------- batched device calls (collector threads) ----------
+    @staticmethod
+    def _bucket(n: int, hi: int) -> int:
+        """Round n up to a power of two in [8, hi] — every distinct device
+        shape costs a fresh XLA compile (tens of seconds on a cold cache),
+        so both the query-batch size and k are padded to a small static
+        set of shapes instead of compiling per realized batch (without
+        this, a mixed-size load collapses to ~1 req/s while every batch
+        recompiles — measured by benchmarks/serve_load_bench.py)."""
+        b = 8
+        while b < n:
+            b *= 2
+        return min(b, hi)
+
     def _search_batch(self, payloads):
-        # one device call for the union of queries; k = max requested,
-        # trimmed per payload afterwards
+        # one device call for the union of queries; batch and k bucketed
+        # to compile-stable shapes, trimmed per payload afterwards
         queries = [p[0] for p in payloads]
-        k = max(p[1] for p in payloads)
+        k = self._bucket(max(p[1] for p in payloads), self._k_max)
+        B = self._bucket(len(queries), self._max_batch)
+        padded = queries + [queries[0]] * (B - len(queries))
         want_texts = any(p[2] for p in payloads)
-        rows = self.retriever.search(queries, k=k, return_texts=want_texts)
+        rows = self.retriever.search(padded, k=k, return_texts=want_texts)
         out = []
         for (q, kk, rt), row in zip(payloads, rows):
-            row = row[:kk]
+            row = row[: min(kk, len(row))]
             if want_texts and not rt:
                 row = [r[:2] for r in row]
             out.append(row)
         return out
 
     def _encode_batch(self, texts):
-        emb = np.asarray(self.retriever.encoder.encode(list(texts)))
+        B = self._bucket(len(texts), self._max_batch)
+        padded = list(texts) + [texts[0]] * (B - len(texts))
+        emb = np.asarray(self.retriever.encoder.encode(padded))
         return [emb[i].tolist() for i in range(len(texts))]
 
     # ---------------- lifecycle ----------------------------------------
@@ -114,7 +140,7 @@ class RetrievalServer:
                 except Exception as e:   # device/runtime failure
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
-        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._httpd = _Server((self._host, self._port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
