@@ -89,6 +89,57 @@ def test_streaming_ids_and_k_clamp(rng):
     assert out_ids[0][0] == "doc0" and out_ids[1][0] == "doc1"
 
 
+@pytest.mark.parametrize("n_docs,tile_rows", [(5000, 1024), (3000, 2048),
+                                              (2048, 2048), (900, 1024)])
+@pytest.mark.parametrize("score", ["cos_sim", "dot_score"])
+def test_streaming_sharded_exact_vs_reference(rng, mesh8, n_docs,
+                                              tile_rows, score):
+    """Streaming × ICI sharding: row-sharded tiles + all_gather merge must
+    stay exact for partial tiles (incl. tiles where trailing SHARDS are
+    fully padded) on the 8-device mesh."""
+    D, Q, k = 32, 6, 7
+    corpus = rng.standard_normal((n_docs, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=tile_rows,
+                              transfer_dtype="float32", mesh=mesh8)
+    s, i = idx.search(queries, k=k, score=score)
+    gs, gi = _golden(queries, corpus, k, score)
+    np.testing.assert_array_equal(i, np.asarray(gi))
+    np.testing.assert_allclose(s, np.asarray(gs), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_sharded_pallas_interpret_matches_xla(rng, mesh8):
+    """The fused per-shard pipeline (interpret mode) must agree with the
+    sharded XLA tile path exactly — the pod-slice streaming fast path."""
+    corpus = rng.standard_normal((2100, 48)).astype(np.float32)
+    queries = rng.standard_normal((4, 48)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=1024,
+                              transfer_dtype="float32", mesh=mesh8)
+    s_p, i_p = idx.search(queries, k=6, backend="pallas")
+    s_x, i_x = idx.search(queries, k=6, backend="xla")
+    np.testing.assert_array_equal(i_p, i_x)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_sharded_matches_unsharded(rng, mesh8):
+    """mesh=None and mesh=8 must return identical results (bf16 transfer)."""
+    corpus = rng.standard_normal((3100, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    plain = StreamingExactIndex(corpus, tile_rows=1024)
+    shard = StreamingExactIndex(corpus, tile_rows=1024, mesh=mesh8)
+    s0, i0 = plain.search(queries, k=9, score="dot_score")
+    s1, i1 = shard.search(queries, k=9, score="dot_score")
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_sharded_tile_quantum(rng, mesh8):
+    """With a mesh, tile_rows must quantize to BUCKET × n_devices."""
+    corpus = rng.standard_normal((3000, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="mesh devices"):
+        StreamingExactIndex(corpus, tile_rows=512, mesh=mesh8)  # 512 < 1024
+
+
 def test_streaming_validation(rng):
     corpus = rng.standard_normal((100, 8)).astype(np.float32)
     with pytest.raises(ValueError, match="tile_rows"):
