@@ -1,22 +1,28 @@
 """Serving layer under concurrency: batched QPS, tail latency, batch sizes.
 
 VERDICT r2 #6: the only HTTP number so far was one warm 98 ms search. This
-drives RetrievalServer with N concurrent clients issuing mixed-k searches
-over a 1M x 384 bf16 index (the headline serving corpus), reporting:
+drives RetrievalServer with N concurrent closed-loop clients issuing
+mixed-k searches over a 1M x 384 bf16 index (the headline serving corpus),
+reporting:
 
 - end-to-end HTTP QPS and p50/p95/p99 request latency,
 - the DynamicBatcher's realized batch-size distribution,
 - the direct `ExactIndex.search_stream` device bound on the same index
   (what the HTTP + batching layers wrap), measured in the SAME process.
 
-Usage: PYTHONPATH=/root/repo python benchmarks/serve_load_bench.py \
-    [--clients 64] [--seconds 20] [--n_docs 1000000]
+Closed-loop clients cap throughput at clients/latency, so server capacity
+only shows at high client counts — sweep them (and batcher worker counts)
+in ONE process to amortize the compile warmup:
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/serve_load_bench.py \
+    [--clients 64,256] [--workers 1,2] [--seconds 20] [--n_docs 1000000]
 """
 
 import argparse
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -37,14 +43,62 @@ from qst_tpu.serve.server import RetrievalServer
 WORDS = ("cat dog car road mat park plane sky beach sand red small "
          "young pasta sauce cloud scene variant river tree").split()
 
+KS = (5, 10, 32, 64)        # per-request k mix
+BATCH_SHAPES = (8, 16, 32, 64, 128, 256)
+
+
+def run_load(url, clients, seconds, rng):
+    lat = []
+    lock = threading.Lock()
+    stop_at = time.perf_counter() + seconds
+
+    def post(payload, timeout=120):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(f"HTTP {e.code}: {e.read().decode()}") from e
+
+    def client(seed):
+        r = np.random.default_rng(seed)
+        my = []
+        while time.perf_counter() < stop_at:
+            q = " ".join(r.choice(WORDS, 6))
+            k = int(r.choice(KS))
+            t0 = time.perf_counter()
+            out = post({"queries": [q], "k": k})
+            my.append(time.perf_counter() - t0)
+            assert len(out["results"][0]) == k
+        with lock:
+            lat.extend(my)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return np.sort(np.asarray(lat)) * 1e3, wall
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--clients", type=str, default="64",
+                    help="comma list: one load phase per count "
+                         "(same process, warmup amortized)")
+    ap.add_argument("--workers", type=str, default="2",
+                    help="comma list of batcher worker counts to sweep")
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--n_docs", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=384)
     args = ap.parse_args()
+    client_counts = [int(c) for c in args.clients.split(",")]
+    worker_counts = [int(w) for w in args.workers.split(",")]
 
     rng = np.random.default_rng(0)
     cfg = EncoderConfig.minilm_l6()
@@ -60,97 +114,64 @@ def main():
     retr = Retriever(enc, score="dot_score")
     retr.index = ExactIndex(emb, normalize=False, dtype="bfloat16")
 
-    server = RetrievalServer(retr, max_batch=256, max_wait_s=0.005)
-    # record realized batch sizes
-    batch_sizes = []
-    orig = server._search_batch
-
-    def recording(payloads):
-        batch_sizes.append(len(payloads))
-        return orig(payloads)
-
-    server._search_batcher._batch_fn = recording
-    port = server.start()
-    url = f"http://127.0.0.1:{port}/search"
-
-    def post(payload, timeout=120):
-        req = urllib.request.Request(
-            url, data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"})
-        try:
-            with urllib.request.urlopen(req, timeout=timeout) as r:
-                return json.loads(r.read())
-        except urllib.error.HTTPError as e:
-            raise RuntimeError(f"HTTP {e.code}: {e.read().decode()}") from e
-
-    # warm every compile shape the load phase can realize: the server
+    # warm every compile shape the load phases can realize: the server
     # buckets both batch size and k to powers of two, so the shape set is
-    # (B in 8..max_batch) x (k-bucket). Warm through _search_batch directly
-    # (warmup is not part of the measurement; fresh remote compiles can
-    # take minutes each).
-    ks = (5, 10, 32, 64)
+    # (B in BATCH_SHAPES) x (k-bucket). The jit caches are process-wide —
+    # warming through retr.search covers every server below. (Warmup is
+    # not part of any measurement; fresh remote compiles take minutes.)
     t0 = time.perf_counter()
-    for k in sorted({server._bucket(k, 128) for k in ks}):
-        for B in (8, 16, 32, 64, 128, 256):
-            payloads = [(" ".join(rng.choice(WORDS, 6)), k, False)] * B
-            server._search_batch(payloads)
+    for k in sorted({RetrievalServer._bucket(k, 128) for k in KS}):
+        for B in BATCH_SHAPES:
+            retr.search([" ".join(rng.choice(WORDS, 6))] * B, k=k)
     print(f"warmed all (B, k) shapes in {time.perf_counter() - t0:.0f}s",
           flush=True)
-    post({"queries": ["warm up http path"], "k": 10}, timeout=1800)
 
-    lat = []
-    lock = threading.Lock()
-    stop_at = time.perf_counter() + args.seconds
+    for workers in worker_counts:
+        server = RetrievalServer(retr, max_batch=256, max_wait_s=0.005,
+                                 workers=workers)
+        batch_sizes = []
+        orig = server._search_batch
 
-    def client(seed):
-        r = np.random.default_rng(seed)
-        my = []
-        while time.perf_counter() < stop_at:
-            q = " ".join(r.choice(WORDS, 6))
-            k = int(r.choice(ks))
-            t0 = time.perf_counter()
-            out = post({"queries": [q], "k": k})
-            my.append(time.perf_counter() - t0)
-            assert len(out["results"][0]) == k
-        with lock:
-            lat.extend(my)
+        def recording(payloads):
+            batch_sizes.append(len(payloads))
+            return orig(payloads)
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(i,))
-               for i in range(args.clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    lat_ms = np.sort(np.asarray(lat)) * 1e3
-    bs = np.asarray(batch_sizes[1:])  # drop the one HTTP warmup batch
-    print(f"clients={args.clients} reqs={len(lat)} wall={wall:.1f}s "
-          f"-> {len(lat) / wall:.0f} req/s (1 query/req)")
-    print(f"latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
-          f"p95 {np.percentile(lat_ms, 95):.1f} "
-          f"p99 {np.percentile(lat_ms, 99):.1f} max {lat_ms[-1]:.1f}")
-    if bs.size:
-        print(f"batch sizes: mean {bs.mean():.1f} p50 "
-              f"{np.percentile(bs, 50):.0f} max {bs.max()} over "
-              f"{bs.size} device calls")
+        server._search_batcher._batch_fn = recording
+        port = server.start()
+        url = f"http://127.0.0.1:{port}/search"
+        for clients in client_counts:
+            batch_sizes.clear()
+            lat_ms, wall = run_load(url, clients, args.seconds, rng)
+            bs = np.asarray(batch_sizes)
+            print(f"workers={workers} clients={clients} "
+                  f"reqs={len(lat_ms)} wall={wall:.1f}s "
+                  f"-> {len(lat_ms) / wall:.0f} req/s (1 query/req)",
+                  flush=True)
+            print(f"  latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
+                  f"p95 {np.percentile(lat_ms, 95):.1f} "
+                  f"p99 {np.percentile(lat_ms, 99):.1f} "
+                  f"max {lat_ms[-1]:.1f}", flush=True)
+            if bs.size:
+                print(f"  batch sizes: mean {bs.mean():.1f} p50 "
+                      f"{np.percentile(bs, 50):.0f} max {bs.max()} over "
+                      f"{bs.size} device calls", flush=True)
+        server.stop()
 
     # direct device bound: pipelined search_stream on the same index with
-    # pre-encoded queries at the batcher's realized mean batch size
-    B = max(1, int(bs.mean())) if bs.size else 64
-    qtexts = [" ".join(rng.choice(WORDS, 6)) for _ in range(B)]
-    q_emb = np.asarray(enc.encode(qtexts))
-    n_batches = 50
-    it = (q_emb for _ in range(n_batches))
-    list(retr.index.search_stream((q_emb,), k=64))  # warm
-    t0 = time.perf_counter()
-    for _ in retr.index.search_stream(it, k=64, depth=4):
-        pass
-    direct = time.perf_counter() - t0
-    print(f"direct search_stream bound @ Q={B}: "
-          f"{B * n_batches / direct:.0f} QPS "
-          f"({direct / n_batches * 1e3:.1f} ms/batch)")
-    server.stop()
+    # pre-encoded queries, at the shapes the batcher realizes under load
+    for B in (32, 64, 128, 256):
+        qtexts = [" ".join(rng.choice(WORDS, 6)) for _ in range(B)]
+        q_emb = np.asarray(enc.encode(qtexts))
+        n_batches = 50
+        it = (q_emb for _ in range(n_batches))
+        list(retr.index.search_stream((q_emb,), k=64))  # warm
+        t0 = time.perf_counter()
+        for _ in retr.index.search_stream(it, k=64, depth=4):
+            pass
+        direct = time.perf_counter() - t0
+        print(f"direct search_stream bound @ Q={B}: "
+              f"{B * n_batches / direct:.0f} QPS "
+              f"({direct / n_batches * 1e3:.1f} ms/batch)", flush=True)
     print("done")
 
 

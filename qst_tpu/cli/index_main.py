@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max_batch", type=int, default=256)
     s.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="dynamic-batching straggler window")
+    s.add_argument("--workers", type=int, default=2,
+                   help="batcher collector threads; >1 keeps a second "
+                   "batch in flight so host transfers overlap device "
+                   "compute")
     s.add_argument("--encoder_preset", default="minilm-l6")
     s.add_argument("--vocab_path", default=None)
     s.add_argument("--model_path", default=None)
@@ -128,7 +132,8 @@ def main(argv=None) -> int:
         retriever = Retriever(_encoder(args)).load(args.index_dir)
         server = RetrievalServer(
             retriever, host=args.host, port=args.port,
-            max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3)
+            max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3,
+            workers=args.workers)
         port = server.start()
         logger.info("serving %d docs on http://%s:%d (POST /search, "
                     "POST /encode, GET /healthz)",

@@ -45,7 +45,8 @@ class RetrievalServer:
 
     def __init__(self, retriever: Any, host: str = "127.0.0.1",
                  port: int = 0, max_batch: int = 256,
-                 max_wait_s: float = 0.005, k_max: int = 128):
+                 max_wait_s: float = 0.005, k_max: int = 128,
+                 workers: int = 2):
         if retriever.index is None:
             raise ValueError("retriever has no index (build() or load() it)")
         self.retriever = retriever
@@ -55,11 +56,15 @@ class RetrievalServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         # one batcher per endpoint: payloads are (query, k, return_texts)
-        # tuples for search, raw texts for encode
+        # tuples for search, raw texts for encode; workers > 1 keeps a
+        # second batch in flight so host transfers overlap device compute
+        # (see DynamicBatcher docs)
         self._search_batcher = DynamicBatcher(
-            self._search_batch, max_batch=max_batch, max_wait_s=max_wait_s)
+            self._search_batch, max_batch=max_batch, max_wait_s=max_wait_s,
+            workers=workers)
         self._encode_batcher = DynamicBatcher(
-            self._encode_batch, max_batch=max_batch, max_wait_s=max_wait_s)
+            self._encode_batch, max_batch=max_batch, max_wait_s=max_wait_s,
+            workers=workers)
 
     # ---------------- batched device calls (collector threads) ----------
     @staticmethod

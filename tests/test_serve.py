@@ -84,11 +84,53 @@ def test_batcher_propagates_errors_and_recovers():
     b.close()  # idempotent
 
 
+def test_batcher_workers_overlap_batches():
+    """With workers=2 a second batch runs while the first is still inside
+    batch_fn (the transfer/compute overlap the server relies on)."""
+    active = []
+    peak = []
+    lock = threading.Lock()
+
+    def batch_fn(items):
+        with lock:
+            active.append(1)
+            peak.append(len(active))
+        time.sleep(0.05)  # hold the "device call" open
+        with lock:
+            active.pop()
+        return [x * 2 for x in items]
+
+    with DynamicBatcher(batch_fn, max_batch=1, max_wait_s=0.0,
+                        workers=2) as b:
+        futs = [b.submit_async(i) for i in range(6)]
+        assert [f.result() for f in futs] == [i * 2 for i in range(6)]
+    assert max(peak) == 2, peak  # two batches genuinely in flight
+
+
+def test_batcher_workers_close_and_errors():
+    def batch_fn(items):
+        if any(x < 0 for x in items):
+            raise RuntimeError("negative payload")
+        return items
+
+    b = DynamicBatcher(batch_fn, max_batch=2, max_wait_s=0.0, workers=3)
+    futs = [b.submit_async(i) for i in range(10)]
+    with pytest.raises(RuntimeError, match="negative"):
+        b.submit(-1)
+    assert [f.result() for f in futs] == list(range(10))
+    b.close()  # joins all three workers
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(1)
+    b.close()  # idempotent
+
+
 def test_batcher_validation():
     with pytest.raises(ValueError, match="max_batch"):
         DynamicBatcher(lambda x: x, max_batch=0)
     with pytest.raises(ValueError, match="max_wait_s"):
         DynamicBatcher(lambda x: x, max_wait_s=-1)
+    with pytest.raises(ValueError, match="workers"):
+        DynamicBatcher(lambda x: x, workers=0)
 
     def bad(items):
         return items[:-1]
