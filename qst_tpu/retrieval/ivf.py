@@ -243,6 +243,65 @@ def _sharded_ivf_search_fn(mesh: Mesh, n_probe: int, k: int,
     )
 
 
+def _sharded_ivf_pallas_fn(mesh: Mesh, k: int, n_probe: int,
+                           cells_per_shard: int, budget: int,
+                           interpret: bool):
+    """Sharded IVF through the dynamic-DMA cell scorer: every shard
+    computes the same global probe list, runs the Pallas scorer over the
+    probed cells it owns (out-of-range probes clamp to local cell 0 and
+    are masked to -inf via a zero fill count), and the per-shard top-k
+    candidates merge via all_gather + re-rank — identical results to the
+    single-device Pallas search, so the fast path covers the pod-slice
+    configuration too (the XLA probe gather it replaces runs at
+    single-digit % of HBM bandwidth)."""
+    from qst_tpu.ops.ivf_pallas import ivf_cell_scores_fn
+    from qst_tpu.retrieval.index import _local_topk
+
+    scorer = ivf_cell_scores_fn(interpret=interpret)
+    axes = (DATA_AXIS, MODEL_AXIS)
+    L = budget
+
+    def body(q, centroids, cells_shard, ids_shard, fill):
+        di = jax.lax.axis_index(DATA_AXIS)
+        mi = jax.lax.axis_index(MODEL_AXIS)
+        base = (di * jax.lax.axis_size(MODEL_AXIS) + mi) * cells_per_shard
+        Q = q.shape[0]
+        qf = l2_normalize(q.astype(jnp.float32))
+        csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(csim, n_probe)         # (Q, P) global
+        probe = probe.astype(jnp.int32)
+        pid = probe - base                              # local cell id
+        in_range = (pid >= 0) & (pid < cells_per_shard)
+        pid_c = jnp.clip(pid, 0, cells_per_shard - 1)
+        scores = scorer(qf, cells_shard, pid_c)         # (Q, P·L) f32
+        fillp = jnp.where(in_range, fill[probe], 0)     # (Q, P)
+        iota = jnp.arange(L, dtype=jnp.int32)
+        ok = iota[None, None, :] < fillp[:, :, None]
+        scores = jnp.where(ok.reshape(Q, n_probe * L), scores, -jnp.inf)
+        kc = min(k, n_probe * L)
+        s, pos = _local_topk(scores, kc)
+        p_idx = pos // L
+        slot = pos % L
+        cell_local = jnp.take_along_axis(pid_c, p_idx, axis=1)
+        doc = ids_shard[cell_local, slot]               # (Q, kc)
+        doc = jnp.where(jnp.isneginf(s), -1, doc)
+        all_s = jax.lax.all_gather(s, axes, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(doc, axes, axis=1, tiled=True)
+        s2, pos2 = jax.lax.top_k(all_s, kc)
+        i2 = jnp.take_along_axis(all_i, pos2, axis=1)
+        return s2, i2
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P((DATA_AXIS, MODEL_AXIS)),
+                      P((DATA_AXIS, MODEL_AXIS)), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def _ivf_pallas_search_fn(k: int, n_probe: int, interpret: bool):
     """Single-device IVF search through the dynamic-DMA cell scorer
     (qst_tpu.ops.ivf_pallas): probe selection on the MXU, per-(query,
@@ -399,7 +458,7 @@ class IVFIndex:
         self.cell_budget = L
 
     def _pallas_eligible(self) -> bool:
-        return (self.mesh is None and self.cell_budget % 128 == 0
+        return (self.cell_budget % 128 == 0
                 and jax.devices()[0].platform != "cpu")
 
     def _device_search(self, q, k: int, n_probe: int,
@@ -409,9 +468,15 @@ class IVFIndex:
         use_pallas = (backend == "pallas"
                       or (backend == "auto" and self._pallas_eligible()))
         if use_pallas:
-            if self.mesh is not None:
-                raise ValueError("pallas IVF backend is single-device")
             interpret = jax.devices()[0].platform == "cpu"
+            if self.mesh is not None:
+                key = ("pallas", k, n_probe, interpret, "sharded")
+                if key not in self._sharded_fns:
+                    self._sharded_fns[key] = _sharded_ivf_pallas_fn(
+                        self.mesh, k, n_probe, self.cells_per_shard,
+                        self.cell_budget, interpret)
+                return self._sharded_fns[key](q, self.centroids, self.cells,
+                                              self.cell_ids, self.fill)
             key = ("pallas", k, n_probe, interpret)
             if key not in self._sharded_fns:
                 self._sharded_fns[key] = _ivf_pallas_search_fn(

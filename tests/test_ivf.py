@@ -78,6 +78,30 @@ def test_ivf_sharded_matches_single_device(clustered_corpus, mesh8):
         assert i1 == i0, f"sharded ids diverge at n_probe={n_probe}"
 
 
+def test_ivf_sharded_pallas_matches_xla(clustered_corpus, mesh8):
+    """The dynamic-DMA cell scorer under shard_map (interpret mode on the
+    CPU mesh) must return exactly the sharded-XLA / single-device results
+    — the pod-slice IVF fast path."""
+    rng = np.random.default_rng(6)
+    queries = rng.standard_normal((9, 32)).astype(np.float32)
+    # cell_budget=128: the Pallas scorer wants 128-aligned cell rows;
+    # n_clusters=13 does not divide the 8 shards → padded trailing cells
+    single = IVFIndex(clustered_corpus, n_clusters=13, seed=0,
+                      cell_budget=256)
+    sharded = IVFIndex(clustered_corpus, n_clusters=13, seed=0,
+                       cell_budget=256, mesh=mesh8)
+    for n_probe in (2, 5, 13):
+        s0, i0 = single.search(queries, k=7, n_probe=n_probe,
+                               backend="pallas")
+        s1, i1 = sharded.search(queries, k=7, n_probe=n_probe,
+                                backend="pallas")
+        sx, ix = sharded.search(queries, k=7, n_probe=n_probe,
+                                backend="xla")
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-6)
+        assert i1 == i0, f"sharded pallas != single pallas @ {n_probe}"
+        assert i1 == ix, f"sharded pallas != sharded xla @ {n_probe}"
+
+
 def test_ivf_bf16_cells(clustered_corpus):
     """bf16 cell storage: a query equal to a stored doc must retrieve that
     doc top-1 (blob members are near-ties whose order may legitimately
