@@ -11,10 +11,16 @@ Design (idiomatic JAX, not a torch port):
 - stage parameters are STACKED: every leaf gains a leading (n_stages,
   layers_per_stage) prefix and is sharded ``P('pipe')`` — one stage slice
   resident per device;
-- the schedule is a ``lax.scan`` over ``n_microbatches + n_stages - 1``
-  ticks; each tick every stage applies its layer stack to its current
-  activations (bubble ticks compute on don't-care data and are masked out —
-  branch-free, XLA-friendly) and ``ppermute``s the result to the next stage;
+- the schedule is a ``lax.scan`` over ``v·n_microbatches + n_stages - 1``
+  ticks; each tick every stage applies one of its layer chunks to its
+  current activations (bubble ticks skip compute via ``lax.cond``) and
+  ``ppermute``s the result to the next stage;
+- ``n_rounds`` v > 1 selects the CIRCULAR (interleaved) schedule: each
+  device holds v chunks of L/(S·v) layers, microbatches loop the ring v
+  times (the last device's sends wrap to device 0 through a per-microbatch
+  bank), shrinking the fill/drain bubble from (S-1)/(M+S-1) to
+  (S-1)/(v·M+S-1) — the standard interleaved-pipeline bubble reduction,
+  expressed as the same scan;
 - the whole pipeline is a pure differentiable function: ``jax.grad``
   through ``scan`` + ``ppermute`` yields the reverse-schedule backward
   automatically (GPipe fill-drain; activations of all in-flight microbatches
@@ -63,38 +69,57 @@ def make_pipe_mesh(pipe: int, data: int = 1,
     return Mesh(arr, (PIPE_AXIS, DATA_AXIS))
 
 
-def stack_stage_params(encoder_params: Dict[str, Any], num_layers: int,
-                       n_stages: int) -> Any:
-    """{layer_0..layer_{L-1}} → pytree with leading (n_stages, L/n_stages)
-    axes on every leaf (stage-major, layer-minor)."""
-    if num_layers % n_stages != 0:
+def _chunk_layers(num_layers: int, n_stages: int, n_rounds: int):
+    """Layer ids of chunk ``c`` (device c % S, round c // S): the circular
+    assignment [c·pc, (c+1)·pc) with pc = L/(S·v)."""
+    if num_layers % (n_stages * n_rounds) != 0:
         raise ValueError(
-            f"{num_layers} layers not divisible by {n_stages} stages")
-    per = num_layers // n_stages
+            f"{num_layers} layers not divisible by {n_stages} stages × "
+            f"{n_rounds} rounds")
+    pc = num_layers // (n_stages * n_rounds)
+    return [list(range(c * pc, (c + 1) * pc))
+            for c in range(n_stages * n_rounds)]
+
+
+def stack_stage_params(encoder_params: Dict[str, Any], num_layers: int,
+                       n_stages: int, n_rounds: int = 1) -> Any:
+    """{layer_0..layer_{L-1}} → pytree with leading (n_stages, L/n_stages)
+    axes on every leaf. With ``n_rounds`` v > 1 (the circular schedule)
+    device p's row holds its v chunks back to back — slot r·pc + i is
+    layer (r·S + p)·pc + i — so the leaf SHAPES are identical for every v
+    and only the layer→slot mapping changes."""
+    chunks = _chunk_layers(num_layers, n_stages, n_rounds)
     stages = []
     for s in range(n_stages):
-        group = [encoder_params[f"layer_{s * per + i}"] for i in range(per)]
+        layer_ids = [li for r in range(n_rounds)
+                     for li in chunks[r * n_stages + s]]
+        group = [encoder_params[f"layer_{li}"] for li in layer_ids]
         stages.append(jax.tree.map(lambda *xs: jnp.stack(xs), *group))
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
 
 
-def unstack_stage_params(stage_params: Any, num_layers: int) -> Dict[str, Any]:
+def unstack_stage_params(stage_params: Any, num_layers: int,
+                         n_rounds: int = 1) -> Dict[str, Any]:
     """Inverse of :func:`stack_stage_params` (for checkpoint export)."""
     leaves = jax.tree.leaves(stage_params)
     n_stages, per = leaves[0].shape[0], leaves[0].shape[1]
     if n_stages * per != num_layers:
         raise ValueError("stage stack does not match num_layers")
+    chunks = _chunk_layers(num_layers, n_stages, n_rounds)
     out = {}
     for s in range(n_stages):
-        for i in range(per):
-            out[f"layer_{s * per + i}"] = jax.tree.map(
-                lambda x: x[s, i], stage_params)
+        layer_ids = [li for r in range(n_rounds)
+                     for li in chunks[r * n_stages + s]]
+        for slot, li in enumerate(layer_ids):
+            out[f"layer_{li}"] = jax.tree.map(
+                lambda x: x[s, slot], stage_params)
     return out
 
 
 def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
                        n_microbatches: int,
-                       stochastic: bool = False) -> Callable:
+                       stochastic: bool = False,
+                       n_rounds: int = 1) -> Callable:
     """The per-device body run under shard_map: stacked stage params +
     microbatched activations → microbatched last-hidden states.
 
@@ -103,18 +128,35 @@ def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
     ``fold_in(fold_in(fold_in(rng, data_index), m), l)`` (l global across
     stages), so masks are deterministic given the step rng and iid across
     data shards, microbatches, and layers. Bubble ticks draw the same keys
-    as the clipped microbatch they shadow, but their outputs are masked."""
-    layer = BertLayer(cfg)
-    per = cfg.num_layers // n_stages
-    M, Pn = n_microbatches, n_stages
+    as the clipped microbatch they shadow, but their outputs are masked.
 
-    def apply_stage(sp, hidden, bias, mask, key_m):
+    ``n_rounds`` v > 1 runs the CIRCULAR (interleaved) schedule: each
+    device holds v chunks of L/(S·v) layers (chunk c = r·S + p on device
+    p), a microbatch loops the ring v times, and the last device's sends
+    wrap back to device 0 through a per-microbatch buffer. Tick count
+    grows to v·M + S - 1 but each tick computes 1/v of the old stage, so
+    the fill/drain bubble shrinks from (S-1) to (S-1)/v stage-times —
+    bubble fraction (S-1)/(v·M + S - 1). The schedule is static: at tick
+    t device p runs round (t-p) div M of microbatch (t-p) mod M, which
+    requires M ≥ S so a wrapped activation (arriving at tick
+    (r-1)·M + m + S) is ready before its round-r slot (tick r·M + m)."""
+    layer = BertLayer(cfg)
+    per = cfg.num_layers // n_stages          # layer slots per device
+    pc = per // n_rounds                      # layers per chunk
+    M, Pn, V = n_microbatches, n_stages, n_rounds
+
+    def apply_chunk(sp, rr, hidden, bias, mask, key_m):
+        """Apply this device's round-``rr`` chunk (dynamic slice of its
+        slot-stacked params; slot r·pc + i holds layer (r·S + p)·pc + i)."""
         s = jax.lax.axis_index(PIPE_AXIS)
+        sp_r = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, rr * pc, pc, 0), sp)
+        base = (rr * Pn + s) * pc             # first GLOBAL layer id
 
         def body(h, xs):
             lp, li = xs
             if stochastic:
-                k = jax.random.fold_in(key_m, s * per + li)
+                k = jax.random.fold_in(key_m, base + li)
                 h = layer.apply({"params": lp}, h, bias, mask, False,
                                 rngs={"dropout": k})
             else:
@@ -122,7 +164,7 @@ def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
             return h, None
 
         h, _ = jax.lax.scan(body, hidden,
-                            (sp, jnp.arange(per, dtype=jnp.int32)))
+                            (sp_r, jnp.arange(pc, dtype=jnp.int32)))
         return h
 
     def trunk(stage_params, mb_hidden, mb_bias, mb_mask, rng):
@@ -133,35 +175,52 @@ def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
         rng_l = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
         def tick(carry, t):
-            buf, outs = carry
-            m = t - p                       # microbatch at this stage now
-            valid = (m >= 0) & (m < M)
-            mc = jnp.clip(m, 0, M - 1)
-            x = jnp.where(p == 0, mb_hidden[mc], buf)
-            # bubble ticks SKIP the stage compute (lax.cond is legal here:
-            # apply_stage has no collectives, so per-device divergence
+            buf, wrap, outs = carry
+            tp = t - p                   # schedule position at this stage
+            valid = (tp >= 0) & (tp < V * M)
+            tpc = jnp.clip(tp, 0, V * M - 1)
+            rr, mc = tpc // M, tpc % M
+            entering = mb_hidden[mc] if V == 1 else jnp.where(
+                rr == 0, mb_hidden[mc], wrap[mc])
+            x = jnp.where(p == 0, entering, buf)
+            # bubble ticks SKIP the chunk compute (lax.cond is legal here:
+            # apply_chunk has no collectives, so per-device divergence
             # during fill/drain is fine — the ppermute below is outside the
             # cond and every device still participates). Wall-clock per
             # tick is set by the busiest stage either way; the cond saves
-            # the (n_stages-1)/(M+n_stages-1) fraction of don't-care FLOPs
-            # (energy on TPU, real time on the shared-core CPU test mesh).
+            # the bubble fraction of don't-care FLOPs (energy on TPU, real
+            # time on the shared-core CPU test mesh).
             y = jax.lax.cond(
                 valid,
-                lambda x: apply_stage(sp, x, mb_bias[mc], mb_mask[mc],
+                lambda x: apply_chunk(sp, rr, x, mb_bias[mc], mb_mask[mc],
                                       jax.random.fold_in(rng_l, mc)),
                 lambda x: x,
                 x)
-            outs = jnp.where((p == last) & valid,
+            outs = jnp.where((p == last) & (rr == V - 1) & valid,
                              outs.at[mc].set(y), outs)
-            # activations hop stage p → p+1 (last stage's send is dropped)
-            buf = jax.lax.ppermute(
-                y, PIPE_AXIS, [(i, i + 1) for i in range(Pn - 1)])
-            return (buf, outs), None
+            if V == 1:
+                # activations hop stage p → p+1 (last stage's send dropped)
+                buf = jax.lax.ppermute(
+                    y, PIPE_AXIS, [(i, i + 1) for i in range(Pn - 1)])
+            else:
+                # circular hop: the last stage's send wraps to device 0,
+                # which banks it per microbatch until its round-r slot
+                sent = jax.lax.ppermute(
+                    y, PIPE_AXIS, [(i, (i + 1) % Pn) for i in range(Pn)])
+                tpl = t - last           # producer schedule position
+                tplc = jnp.clip(tpl, 0, V * M - 1)
+                store = ((tpl >= 0) & (tpl < V * M)
+                         & (tplc // M < V - 1) & (p == 0))
+                wrap = jnp.where(store, wrap.at[tplc % M].set(sent), wrap)
+                buf = sent
+            return (buf, wrap, outs), None
 
         buf0 = jnp.zeros_like(mb_hidden[0])
+        wrap0 = (jnp.zeros((), mb_hidden.dtype) if V == 1
+                 else jnp.zeros_like(mb_hidden))
         outs0 = jnp.zeros_like(mb_hidden)
-        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
-                                    jnp.arange(M + Pn - 1))
+        (_, _, outs), _ = jax.lax.scan(tick, (buf0, wrap0, outs0),
+                                       jnp.arange(V * M + Pn - 1))
         # only the last stage holds real outputs; broadcast over the pipe
         return jax.lax.psum(outs, PIPE_AXIS)
 
@@ -169,25 +228,35 @@ def _pipeline_trunk_fn(cfg: EncoderConfig, n_stages: int,
 
 
 def make_pp_embed_fn(cfg: EncoderConfig, mesh: Mesh, n_stages: int,
-                     n_microbatches: int) -> Callable:
+                     n_microbatches: int, n_rounds: int = 1) -> Callable:
     """→ ``fn(params, input_ids, attention_mask) -> (B, D) embeddings``
     with the trunk pipeline-parallel over ``mesh``'s 'pipe' axis and the
     batch sharded over its 'data' axis.
 
     ``params`` = {"embeddings": <BertEmbeddings>, "stages": <stacked>}.
-    B must be divisible by n_microbatches × data-axis size.
+    B must be divisible by n_microbatches × data-axis size. ``n_rounds``
+    > 1 selects the circular (interleaved) schedule — bubble fraction
+    (S-1)/(v·M+S-1) instead of GPipe's (S-1)/(M+S-1); stack the params
+    with the same ``n_rounds``.
     """
     if PIPE_AXIS not in mesh.shape:
         raise ValueError("mesh needs a 'pipe' axis")
     if mesh.shape[PIPE_AXIS] != n_stages:
         raise ValueError(
             f"mesh pipe={mesh.shape[PIPE_AXIS]} != n_stages={n_stages}")
+    _chunk_layers(cfg.num_layers, n_stages, n_rounds)  # divisibility
+    if n_rounds > 1 and n_microbatches < n_stages:
+        raise ValueError(
+            f"the circular schedule needs n_microbatches >= n_stages "
+            f"(wrapped activations must arrive before their next-round "
+            f"slot), got {n_microbatches} < {n_stages}")
     emb_mod = BertEmbeddings(cfg)
     stochastic = cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
 
     def make_sharded_trunk(stoch: bool):
         return jax.shard_map(
-            _pipeline_trunk_fn(cfg, n_stages, n_microbatches, stoch),
+            _pipeline_trunk_fn(cfg, n_stages, n_microbatches, stoch,
+                               n_rounds),
             mesh=mesh,
             in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
                       P(None, DATA_AXIS), P()),
@@ -241,10 +310,12 @@ def make_pp_embed_fn(cfg: EncoderConfig, mesh: Mesh, n_stages: int,
 
 def pp_params_from_encoder(encoder_params: Dict[str, Any],
                            cfg: EncoderConfig, n_stages: int,
-                           mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+                           mesh: Optional[Mesh] = None,
+                           n_rounds: int = 1) -> Dict[str, Any]:
     """Split a flat ``BertEncoder`` param tree into the PP layout (and
     place the stage stack sharded over the pipe axis when a mesh is given)."""
-    stages = stack_stage_params(encoder_params, cfg.num_layers, n_stages)
+    stages = stack_stage_params(encoder_params, cfg.num_layers, n_stages,
+                                n_rounds)
     if mesh is not None:
         sh = NamedSharding(mesh, P(PIPE_AXIS))
         stages = jax.tree.map(lambda x: jax.device_put(x, sh), stages)
@@ -256,7 +327,8 @@ def pp_params_from_encoder(encoder_params: Dict[str, Any],
 
 
 def make_pp_train_step(cfg: EncoderConfig, loss_cfg, tx, mesh: Mesh,
-                       n_stages: int, n_microbatches: int) -> Callable:
+                       n_stages: int, n_microbatches: int,
+                       n_rounds: int = 1) -> Callable:
     """Jitted quadruplet train step with the encoder trunk pipelined.
 
     → ``step(state, input_ids (4, B, S), attention_mask, rng) ->
@@ -268,7 +340,7 @@ def make_pp_train_step(cfg: EncoderConfig, loss_cfg, tx, mesh: Mesh,
     """
     from qst_tpu.train.train_step import loss_from_config
 
-    fwd = make_pp_embed_fn(cfg, mesh, n_stages, n_microbatches)
+    fwd = make_pp_embed_fn(cfg, mesh, n_stages, n_microbatches, n_rounds)
     loss_fn_inner = loss_from_config(loss_cfg)
     stochastic = cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
 

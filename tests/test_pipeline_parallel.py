@@ -138,6 +138,81 @@ def test_pp_validation_errors(params):
         fwd(pp_params, ids, mask)
 
 
+# ------------------------------------------------- circular (interleaved)
+def test_circular_stack_unstack_roundtrip(params):
+    """v=2 chunk assignment: device p's slots are chunks p, p+S, … — the
+    round trip must restore every layer."""
+    enc = params["encoder"]
+    stacked = stack_stage_params(enc, CFG.num_layers, 2, n_rounds=2)
+    flat = unstack_stage_params(stacked, CFG.num_layers, n_rounds=2)
+    for i in range(CFG.num_layers):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            flat[f"layer_{i}"], enc[f"layer_{i}"])
+    # same leaf shapes as v=1 — only the layer→slot mapping differs
+    v1 = stack_stage_params(enc, CFG.num_layers, 2)
+    jax.tree.map(lambda a, b: (a.shape == b.shape) or (_ for _ in ()).throw(
+        AssertionError((a.shape, b.shape))), stacked, v1)
+
+
+@pytest.mark.parametrize("pipe,data,microbatches,rounds",
+                         [(2, 1, 2, 2), (2, 1, 4, 2), (4, 1, 4, 1),
+                          (2, 2, 2, 2)])
+def test_pp_circular_forward_matches_sequential(params, pipe, data,
+                                                microbatches, rounds):
+    """The circular schedule is the same math as the sequential encoder:
+    forward outputs must match to float tolerance (incl. composed with a
+    data axis and M == S, the tightest wrap timing)."""
+    mesh = make_pipe_mesh(pipe, data)
+    pp_params = pp_params_from_encoder(params["encoder"], CFG, pipe, mesh,
+                                       n_rounds=rounds)
+    fwd_pp = jax.jit(make_pp_embed_fn(CFG, mesh, pipe, microbatches,
+                                      n_rounds=rounds))
+    fwd_ref = jax.jit(embed_fn(CFG))
+    ids, mask = _batch(8)
+    out_pp = np.asarray(fwd_pp(pp_params, ids, mask))
+    out_ref = np.asarray(fwd_ref(params, ids, mask))
+    np.testing.assert_allclose(out_pp, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pp_circular_gradients_match_sequential(params):
+    """AD through the circular scan (wrap bank included) must reproduce
+    the sequential gradients for every layer."""
+    pipe, M, V = 2, 2, 2
+    mesh = make_pipe_mesh(pipe, 1)
+    pp_params = pp_params_from_encoder(params["encoder"], CFG, pipe, mesh,
+                                       n_rounds=V)
+    fwd_pp = make_pp_embed_fn(CFG, mesh, pipe, M, n_rounds=V)
+    fwd_ref = embed_fn(CFG)
+    ids, mask = _batch(4)
+
+    g_pp = jax.jit(jax.grad(lambda p: (fwd_pp(p, ids, mask) ** 2).sum()))(
+        pp_params)
+    g_ref = jax.jit(jax.grad(lambda p: (fwd_ref(p, ids, mask) ** 2).sum()))(
+        params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        g_pp["embeddings"], g_ref["encoder"]["embeddings"])
+    flat = unstack_stage_params(g_pp["stages"], CFG.num_layers, n_rounds=V)
+    for i in range(CFG.num_layers):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            flat[f"layer_{i}"], g_ref["encoder"][f"layer_{i}"])
+
+
+def test_pp_circular_validation(params):
+    mesh = make_pipe_mesh(2, 1)
+    with pytest.raises(ValueError, match="n_microbatches >= n_stages"):
+        make_pp_embed_fn(CFG, mesh, 2, n_microbatches=1, n_rounds=2)
+    with pytest.raises(ValueError, match="divisible"):
+        make_pp_embed_fn(CFG, mesh, 2, n_microbatches=4, n_rounds=3)
+    with pytest.raises(ValueError, match="divisible"):
+        stack_stage_params(params["encoder"], CFG.num_layers, 2, n_rounds=3)
+
+
 # ------------------------------------------------- stochastic (dropout) PP
 DCFG = dataclasses.replace(CFG, hidden_dropout=0.3, attention_dropout=0.2)
 
@@ -229,6 +304,23 @@ def test_pp_dropout_gradients_match_sequential(params):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
             flat[f"layer_{i}"], g_ref[f"layer_{i}"])
+
+
+def test_pp_circular_dropout_matches_sequential_masks(params):
+    """Circular schedule WITH dropout: chunk slots map to GLOBAL layer ids
+    in the key derivation, so masks (and outputs) must equal the same
+    sequential twin the v=1 schedule matches."""
+    pipe, M, V = 2, 2, 2
+    mesh = make_pipe_mesh(pipe, 1)
+    pp_params = pp_params_from_encoder(params["encoder"], DCFG, pipe, mesh,
+                                       n_rounds=V)
+    fwd_pp = make_pp_embed_fn(DCFG, mesh, pipe, M, n_rounds=V)
+    ids, mask = _batch(4)
+    rng = jax.random.key(7)
+    out_pp = np.asarray(jax.jit(fwd_pp)(pp_params, ids, mask, rng))
+    out_ref = np.asarray(_sequential_dropout_twin(
+        params["encoder"], ids, mask, rng, M))
+    np.testing.assert_allclose(out_pp, out_ref, rtol=2e-5, atol=2e-5)
 
 
 def test_pp_train_step_stochastic_learns(params):
