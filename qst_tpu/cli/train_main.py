@@ -98,6 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train steps fused into one device dispatch "
                         "(lax.scan multi-step driver)")
     # parallelism
+    p.add_argument("--pp_stages", type=int, default=1,
+                   help="pipeline-parallel stages (>1 trains through the "
+                   "pipelined trunk over a ('pipe','data') mesh)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per PP step (default: pp_stages)")
+    p.add_argument("--pp_rounds", type=int, default=1,
+                   help="chunks per device (circular interleaved schedule; "
+                   "bubble shrinks v-fold)")
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="-1 = all devices on the data axis")
     p.add_argument("--mesh_model", type=int, default=1)
@@ -177,7 +185,21 @@ def main(argv=None) -> int:
         experiment_dir=args.experiment_dir, manual_notes=args.manual_notes)
     dump_args(args, args.experiment_dir, manual_notes=args.manual_notes)
 
-    mesh = make_mesh(args.mesh_data, args.mesh_model)
+    if args.pp_stages > 1:
+        from qst_tpu.parallel.pipeline import make_pipe_mesh
+
+        if args.mesh_model > 1:
+            raise SystemExit("--pp_stages and --mesh_model are exclusive "
+                             "(PP composes with data parallelism only)")
+        n_dev = len(jax.devices())
+        pp_data = (args.mesh_data if args.mesh_data > 0
+                   else max(1, n_dev // args.pp_stages))
+        mesh = make_pipe_mesh(args.pp_stages, pp_data)
+        logger.info("pipeline training: %d stages x %d data shards, "
+                    "%d microbatches, %d rounds", args.pp_stages, pp_data,
+                    args.pp_microbatches or args.pp_stages, args.pp_rounds)
+    else:
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
 
     # initial params (random or imported HF checkpoint)
     if hf_params is not None:
@@ -234,7 +256,15 @@ def main(argv=None) -> int:
 
     trainer = Trainer(encoder_cfg, loss_cfg, train_cfg, base_ds, collator,
                       evaluator=evaluator, mesh=mesh,
-                      steps_per_call=args.steps_per_call)
+                      steps_per_call=args.steps_per_call,
+                      # train FROM the resolved weights: with an HF
+                      # checkpoint the reference fine-tunes pretrained
+                      # MiniLM — random re-init here silently discarded
+                      # the imported weights (fixed round 3)
+                      initial_params=init,
+                      pp_stages=args.pp_stages,
+                      pp_microbatches=args.pp_microbatches,
+                      pp_rounds=args.pp_rounds)
     result = trainer.train(rng=jax.random.key(args.seed), resume=args.resume)
     logger.info(
         "done: best=%.6f (epoch %d), %d evals, %.2f steps/s, early_stop=%s",

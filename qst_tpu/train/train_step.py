@@ -176,11 +176,19 @@ def create_train_state(
     rng: jax.Array,
     total_steps: int,
     loss_cfg: Optional[LossConfig] = None,
+    initial_params: Optional[Any] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
+    """``initial_params``: start from these weights (e.g. an imported HF
+    checkpoint — the reference fine-tunes pretrained MiniLM, reference
+    training/main.py:242) instead of random init."""
     from qst_tpu.models.discriminator import init_discriminator
     from qst_tpu.models.sentence_encoder import init_params
 
-    params = init_params(encoder_cfg, rng)
+    # copy (not alias) provided weights: the train step donates its state,
+    # and donating aliased arrays would delete the caller's params
+    params = (jax.tree.map(jnp.array, initial_params)
+              if initial_params is not None
+              else init_params(encoder_cfg, rng))
     discr_params = None
     trainable = {"encoder": params}
     if loss_cfg is not None and loss_cfg.kind == "d_regularized":
@@ -200,12 +208,17 @@ def create_train_state_sharded(
     total_steps: int,
     mesh: Mesh,
     loss_cfg: Optional[LossConfig] = None,
+    initial_params: Optional[Any] = None,
 ):
     """Tensor-parallel state creation: params (and optimizer moments)
     materialize directly in the layout given by the qst_tpu.parallel rules —
     attention heads and MLP width sharded over the ``model`` axis. The train
     step then inherits these shardings through its arguments and XLA inserts
-    the TP collectives. → (state, tx, state_shardings)."""
+    the TP collectives. → (state, tx, state_shardings).
+
+    ``initial_params``: overwrite the randomly-initialized encoder params
+    with these weights (device_put into the rule-derived shardings; the
+    Adam moments are zeros either way, so only the params leaves change)."""
     from qst_tpu.parallel.sharding import create_sharded
 
     tx = make_optimizer(train_cfg, total_steps)
@@ -226,6 +239,12 @@ def create_train_state_sharded(
                           opt_state=opt_state, discr_params=discr_params)
 
     state, shardings = create_sharded(mesh, build)
+    if initial_params is not None:
+        placed = jax.tree.map(
+            lambda tgt, src: jax.device_put(
+                jnp.asarray(src, tgt.dtype), tgt.sharding),
+            state.params, initial_params)
+        state = state.replace(params=placed)
     return state, tx, shardings
 
 

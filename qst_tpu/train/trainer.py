@@ -68,9 +68,33 @@ class Trainer:
         mesh=None,
         steps_per_epoch: Optional[int] = None,
         steps_per_call: int = 1,
+        initial_params: Optional[Any] = None,
+        pp_stages: int = 1,
+        pp_microbatches: int = 0,
+        pp_rounds: int = 1,
     ):
+        """``initial_params``: start from these encoder weights (imported
+        HF checkpoint — the reference fine-tunes pretrained MiniLM) instead
+        of random init; ``--resume`` restores over them.
+
+        ``pp_stages`` > 1 trains through the pipeline-parallel trunk
+        (qst_tpu.parallel.pipeline): ``mesh`` must then be a
+        ('pipe', 'data') mesh from ``make_pipe_mesh``; ``pp_microbatches``
+        defaults to ``pp_stages``; ``pp_rounds`` > 1 selects the circular
+        interleaved schedule. Checkpoints store the PP layout (resume with
+        the same flags); the BEST artifact is saved in the standard flat
+        layout so ir-eval / index CLIs consume it unchanged."""
         if steps_per_call < 1:
             raise ValueError(f"steps_per_call must be >= 1, {steps_per_call}")
+        if pp_stages > 1 and steps_per_call > 1:
+            raise ValueError(
+                "steps_per_call > 1 is not supported with pipeline "
+                "training (the PP schedule is already a scanned multi-tick "
+                "dispatch)")
+        if pp_stages > 1 and loss_cfg.kind == "d_regularized":
+            raise ValueError(
+                "d_regularized loss is not supported with pipeline "
+                "training")
         self.encoder_cfg = encoder_cfg
         self.loss_cfg = loss_cfg
         self.train_cfg = train_cfg
@@ -79,6 +103,10 @@ class Trainer:
         self.evaluator = evaluator
         self.mesh = mesh
         self.steps_per_call = steps_per_call
+        self.initial_params = initial_params
+        self.pp_stages = pp_stages
+        self.pp_microbatches = pp_microbatches or pp_stages
+        self.pp_rounds = pp_rounds
         self.steps_per_epoch = steps_per_epoch or max(
             1, len(dataset) // train_cfg.batch_size)
         self.total_steps = self.steps_per_epoch * train_cfg.epochs
@@ -88,16 +116,44 @@ class Trainer:
               resume: bool = False) -> TrainResult:
         cfg = self.train_cfg
         rng = rng if rng is not None else jax.random.key(cfg.seed)
-        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+        if self.pp_stages > 1:
+            from qst_tpu.models.sentence_encoder import init_params
+            from qst_tpu.parallel.pipeline import (
+                PIPE_AXIS,
+                make_pp_train_step,
+                pp_params_from_encoder,
+            )
+            from qst_tpu.train.train_step import make_optimizer
+
+            if self.mesh is None or PIPE_AXIS not in self.mesh.shape:
+                raise ValueError(
+                    "pipeline training needs a ('pipe', 'data') mesh "
+                    "(qst_tpu.parallel.pipeline.make_pipe_mesh)")
+            full = (self.initial_params if self.initial_params is not None
+                    else init_params(self.encoder_cfg, rng))
+            pp_params = pp_params_from_encoder(
+                full["encoder"], self.encoder_cfg, self.pp_stages,
+                self.mesh, self.pp_rounds)
+            tx = make_optimizer(cfg, self.total_steps)
+            state = TrainState(step=jnp.zeros((), jnp.int32),
+                               params=pp_params,
+                               opt_state=tx.init(pp_params))
+            step_fn = make_pp_train_step(
+                self.encoder_cfg, self.loss_cfg, tx, self.mesh,
+                self.pp_stages, self.pp_microbatches, self.pp_rounds)
+        elif self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
             from qst_tpu.train.train_step import create_train_state_sharded
 
             state, tx, _ = create_train_state_sharded(
                 self.encoder_cfg, cfg, rng, self.total_steps, self.mesh,
-                self.loss_cfg)
+                self.loss_cfg, initial_params=self.initial_params)
         else:
             state, tx = create_train_state(
-                self.encoder_cfg, cfg, rng, self.total_steps, self.loss_cfg)
-        step_fn = make_train_step(self.encoder_cfg, self.loss_cfg, tx, self.mesh)
+                self.encoder_cfg, cfg, rng, self.total_steps, self.loss_cfg,
+                initial_params=self.initial_params)
+        if self.pp_stages == 1:
+            step_fn = make_train_step(self.encoder_cfg, self.loss_cfg, tx,
+                                      self.mesh)
         multi_fn = None
         if self.steps_per_call > 1:
             from qst_tpu.train.train_step import make_multi_step
@@ -129,12 +185,29 @@ class Trainer:
             mode=cfg.early_stopping_mode)
         history: List[Dict[str, float]] = []
 
+        def flat_params(params):
+            """PP layout → the standard {"encoder": {...}} layout the
+            evaluators and downstream CLIs consume (identity otherwise)."""
+            if self.pp_stages == 1:
+                return params
+            from qst_tpu.parallel.pipeline import unstack_stage_params
+
+            enc = {"embeddings": params["embeddings"],
+                   **unstack_stage_params(params["stages"],
+                                          self.encoder_cfg.num_layers,
+                                          self.pp_rounds)}
+            return {"encoder": enc}
+
         def run_eval(epoch: int, steps: int) -> Optional[float]:
             if self.evaluator is None:
                 return None
-            score = float(self.evaluator(state.params, epoch, steps))
+            flat = flat_params(state.params)
+            score = float(self.evaluator(flat, epoch, steps))
             history.append({"epoch": epoch, "steps": steps, "score": score})
-            ckpt.update_best(state, score)
+            # the best artifact always stores the flat layout so ir-eval /
+            # index consumers work regardless of the training parallelism
+            ckpt.update_best(state if self.pp_stages == 1
+                             else state.replace(params=flat), score)
             return score
 
         # pre-training evaluation (reference training/main.py:126)

@@ -135,6 +135,35 @@ def test_train_and_ir_eval_cli(tmp_path):
     assert "map@5" in results["baseline"]["metrics"]["cos_sim"]
 
 
+def test_train_cli_pipeline_parallel(tmp_path):
+    """--pp_stages 2 trains through the pipelined trunk end-to-end and
+    still exports a flat best artifact the ir-eval CLI can consume."""
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=8)
+    exp = str(tmp_path / "exp_pp")
+    rc = train_main.main([
+        "--dataset_root", root,
+        "--experiment_dir", exp,
+        "--encoder_preset", "tiny",
+        "--batch_size", "8",
+        "--epochs", "1",
+        "--learning_rate", "1e-3",
+        "--scheduler", "constantlr",
+        "--evaluation_steps", "2",
+        "--checkpoint_save_steps", "0",
+        "--val_fraction", "0.3",
+        "--pp_stages", "2",
+        "--pp_microbatches", "2",
+        "--mesh_data", "2",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(exp, "checkpoints", "best"))
+    from qst_tpu.cli.common import load_best_params
+
+    best = load_best_params(exp)
+    assert "encoder" in best and "layer_1" in best["encoder"]
+
+
 def test_ir_eval_cli_sharded_mesh(tmp_path):
     """IR evaluation through the CLI over the full 8-device mesh (corpus
     sharded across all devices)."""

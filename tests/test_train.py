@@ -193,6 +193,91 @@ def test_trainer_end_to_end(tmp_path):
     assert result.steps_per_sec > 0
 
 
+def test_initial_params_reach_training(tmp_path, mesh8):
+    """Imported (e.g. HF) weights must be what training actually starts
+    from — round 3 fixed the CLI path that re-randomized them."""
+    from qst_tpu.models.sentence_encoder import init_params
+    from qst_tpu.train.train_step import create_train_state_sharded
+
+    custom = init_params(TINY, jax.random.key(99))
+    tcfg = TrainConfig(batch_size=4, scheduler="constantlr")
+    state, _ = create_train_state(TINY, tcfg, jax.random.key(0), 10, LOSS,
+                                  initial_params=custom)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, custom)
+    # sharded creator: weights device_put into the rule-derived shardings
+    sh_state, _, _ = create_train_state_sharded(
+        TINY, tcfg, jax.random.key(0), 10, mesh8, LOSS,
+        initial_params=custom)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        sh_state.params, custom)
+
+    # end-to-end: Trainer(initial_params) at lr=0 must finish with the
+    # provided weights untouched
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=8)
+    ds = QuadrupletDataset(root, seed=1)
+    tok = HashTokenizer(vocab_size=TINY.vocab_size)
+    collator = QuadrupletCollator(tok, max_length=TINY.max_seq_length)
+    t2 = TrainConfig(batch_size=8, epochs=1, learning_rate=0.0,
+                     scheduler="constantlr", evaluation_steps=0,
+                     checkpoint_save_steps=0,
+                     experiment_dir=str(tmp_path / "exp0"))
+    trainer = Trainer(TINY, LOSS, t2, ds, collator, initial_params=custom)
+    result = trainer.train()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7),
+        result.state.params, custom)
+
+
+def test_trainer_pipeline_parallel(tmp_path):
+    """Trainer(pp_stages=2) trains through the pipelined trunk on a
+    ('pipe','data') mesh: losses finite and decreasing-capable, PP-layout
+    checkpoints, and the BEST artifact exported in the standard flat
+    layout (what ir-eval / index consumers load)."""
+    from qst_tpu.models.sentence_encoder import init_params
+    from qst_tpu.parallel.pipeline import make_pipe_mesh
+
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=8)
+    ds = QuadrupletDataset(root, seed=1)
+    tok = HashTokenizer(vocab_size=TINY.vocab_size)
+    collator = QuadrupletCollator(tok, max_length=TINY.max_seq_length)
+    mesh = make_pipe_mesh(2, 2)
+    tcfg = TrainConfig(
+        batch_size=8, epochs=2, learning_rate=1e-3, scheduler="constantlr",
+        evaluation_steps=2, checkpoint_save_steps=0,
+        early_stopping_patience=50,
+        experiment_dir=str(tmp_path / "exp_pp"))
+    custom = init_params(TINY, jax.random.key(5))
+    trainer = Trainer(TINY, LOSS, tcfg, ds, collator,
+                      evaluator=lambda p, e, s: 0.5, mesh=mesh,
+                      initial_params=custom, pp_stages=2)
+    result = trainer.train()
+    assert int(result.state.step) == 4  # 16 inst / batch 8 = 2/epoch × 2
+    assert "stages" in result.state.params  # PP layout trains
+    # best artifact is the flat layout
+    mgr = CheckpointManager(os.path.join(tcfg.experiment_dir, "checkpoints"),
+                            save_steps=0, save_best=True)
+    best = mgr.restore_best_params()
+    mgr.close()
+    assert best is not None and "encoder" in best
+    assert f"layer_{TINY.num_layers - 1}" in best["encoder"]
+
+    # guards
+    with pytest.raises(ValueError, match="steps_per_call"):
+        Trainer(TINY, LOSS, tcfg, ds, collator, mesh=mesh, pp_stages=2,
+                steps_per_call=2)
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(TINY, LOSS, tcfg, ds, collator, mesh=None,
+                pp_stages=2).train()
+
+
 def test_multi_step_matches_sequential_singles():
     """K scanned steps in one dispatch == K sequential single steps."""
     from qst_tpu.train.train_step import make_multi_step
