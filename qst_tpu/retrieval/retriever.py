@@ -95,8 +95,10 @@ class Retriever:
         self.mesh = mesh
         self.score = score
         self.reranker = reranker
-        self.index: Optional[ExactIndex] = None
+        self.index: Optional[Any] = None
         self._doc_texts: List[str] = []
+        self._texts_by_id: dict = {}
+        self._next_auto_id = 0
         self._pos_of: Optional[dict] = None
 
     def _pos(self) -> dict:
@@ -106,6 +108,62 @@ class Retriever:
         if self._pos_of is None:
             self._pos_of = {i: p for p, i in enumerate(self.index.ids)}
         return self._pos_of
+
+    def build_updatable(self, docs: Sequence[str] = (),
+                        ids: Optional[Sequence] = None,
+                        capacity: int = 65536) -> "Retriever":
+        """Serve a MUTABLE corpus: back the retriever with an
+        :class:`UpdatableIndex` (fixed-capacity buffer, one compiled search
+        program), then grow/shrink it online via :meth:`add_docs` /
+        :meth:`remove_docs` — the RetrievalServer exposes these as
+        POST/DELETE /docs. Cosine semantics only (the buffer stores
+        normalized rows, so dot == cos)."""
+        from qst_tpu.retrieval.updatable import UpdatableIndex
+
+        if self.score not in ("cos_sim", "dot_score"):
+            raise ValueError(
+                "updatable retrieval serves cos_sim/dot_score only "
+                f"(normalized buffer), got {self.score!r}")
+        probe = np.asarray(self.encoder.encode(["dimension probe"]))
+        self.index = UpdatableIndex(int(probe.shape[1]), capacity=capacity)
+        self._texts_by_id = {}
+        self._next_auto_id = 0
+        if docs:
+            self.add_docs(docs, ids)
+        return self
+
+    def _is_updatable(self) -> bool:
+        from qst_tpu.retrieval.updatable import UpdatableIndex
+
+        return isinstance(self.index, UpdatableIndex)
+
+    def add_docs(self, docs: Sequence[str],
+                 ids: Optional[Sequence] = None) -> list:
+        """Add documents to an updatable index (encode → buffer write).
+        → the assigned ids (auto-assigned ints when ``ids`` is None)."""
+        if not self._is_updatable():
+            raise RuntimeError(
+                "add_docs needs an updatable index (build_updatable())")
+        docs = list(docs)
+        if ids is None:
+            ids = list(range(self._next_auto_id,
+                             self._next_auto_id + len(docs)))
+        emb = np.asarray(self.encoder.encode(docs))
+        self.index.add(emb, list(ids))        # validates before publish
+        self._next_auto_id = max(
+            [self._next_auto_id] + [i + 1 for i in ids
+                                    if isinstance(i, int)])
+        for i, t in zip(ids, docs):
+            self._texts_by_id[i] = t
+        return list(ids)
+
+    def remove_docs(self, ids: Sequence) -> None:
+        if not self._is_updatable():
+            raise RuntimeError(
+                "remove_docs needs an updatable index (build_updatable())")
+        self.index.remove(list(ids))
+        for i in ids:
+            self._texts_by_id.pop(i, None)
 
     def build(self, docs: Sequence[str],
               ids: Optional[Sequence] = None) -> "Retriever":
@@ -122,6 +180,16 @@ class Retriever:
     def save(self, path: str) -> None:
         if self.index is None:
             raise RuntimeError("no index built")
+        if self._is_updatable():
+            # persist a static snapshot (reloads as an ExactIndex)
+            buffer, ids, _ = self.index._state
+            save_index(path, np.asarray(buffer)[: len(ids)], list(ids),
+                       {"score": self.score})
+            texts = [self._texts_by_id.get(i) for i in ids]
+            if all(t is not None for t in texts):
+                with open(os.path.join(path, "docs.json"), "w") as f:
+                    json.dump(texts, f)
+            return
         save_index(path, np.asarray(self.index.embeddings)[: self.index.n_docs],
                    self.index.ids, {"score": self.score})
         with open(os.path.join(path, "docs.json"), "w") as f:
@@ -150,6 +218,10 @@ class Retriever:
         :meth:`search` (reranking is not applied on the streaming path)."""
         if self.index is None:
             raise RuntimeError("no index built or loaded")
+        if self._is_updatable():
+            raise RuntimeError(
+                "search_stream needs a static ExactIndex (the updatable "
+                "buffer mutates between batches); use search()")
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         pos_of = self._pos() if (return_texts and self._doc_texts) else None
@@ -191,23 +263,31 @@ class Retriever:
         """
         if self.index is None:
             raise RuntimeError("no index built or loaded")
+        updatable = self._is_updatable()
+        has_texts = bool(self._texts_by_id if updatable
+                         else self._doc_texts)
         if rerank_k:
             if self.reranker is None:
                 raise RuntimeError("rerank_k given but no reranker configured")
-            if not self._doc_texts:
+            if not has_texts:
                 raise RuntimeError("reranking needs doc texts (build() them)")
         q_emb = _encode_device(self.encoder, list(queries))
         fetch_k = max(k, rerank_k) if rerank_k else k
-        scores, ids = self.index.search_ids(q_emb, k=fetch_k, score=self.score)
-
-        pos_of = (self._pos() if (rerank_k or
-                                  (return_texts and self._doc_texts))
-                  else None)
+        if updatable:
+            scores, ids = self.index.search(np.asarray(q_emb), k=fetch_k)
+            text_of = self._texts_by_id.__getitem__
+        else:
+            scores, ids = self.index.search_ids(q_emb, k=fetch_k,
+                                                score=self.score)
+            pos_of = (self._pos() if (rerank_k or (return_texts
+                                                   and has_texts))
+                      else None)
+            text_of = (lambda d: self._doc_texts[pos_of[d]])
         out = []
         for qi, query in enumerate(queries):
             cand = list(zip(ids[qi], [float(s) for s in scores[qi]]))
             if rerank_k:
-                texts = [self._doc_texts[pos_of[i]] for i, _ in cand]
+                texts = [text_of(i) for i, _ in cand]
                 ce_scores = np.asarray(
                     self.reranker.predict([(query, t) for t in texts]))
                 order = np.argsort(-ce_scores)[:k]
@@ -216,8 +296,8 @@ class Retriever:
             row = []
             for doc_id, s in cand[:k]:
                 entry = (doc_id, s)
-                if return_texts and self._doc_texts:
-                    entry = (*entry, self._doc_texts[pos_of[doc_id]])
+                if return_texts and has_texts:
+                    entry = (*entry, text_of(doc_id))
                 row.append(entry)
             out.append(row)
         return out

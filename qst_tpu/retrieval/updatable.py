@@ -4,6 +4,15 @@ Production corpora change; the static ``ExactIndex`` would recompile per
 size. ``UpdatableIndex`` keeps a fixed-capacity device buffer (one compiled
 search program) with a dynamic valid-count: adds are ``dynamic_update_slice``
 writes, removes are O(1) swap-with-last, and search masks slots ≥ count.
+
+Concurrency: the whole index state (buffer, id tuple, id→pos map) lives in
+ONE attribute swapped atomically under the GIL, and the update kernels do
+NOT donate their input buffer — an in-flight search that snapshotted the
+previous state keeps valid arrays and a consistent id mapping while an
+add/remove publishes the next state (the ``RetrievalServer``'s batched
+searches run on collector threads concurrent with ``POST/DELETE /docs``).
+Updates themselves are NOT thread-safe against each other — serialize
+writers (the HTTP server funnels them through one lock).
 """
 
 from __future__ import annotations
@@ -18,12 +27,13 @@ import numpy as np
 from qst_tpu.ops.distances import l2_normalize
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _write_rows(buffer: jax.Array, rows: jax.Array, start: jax.Array):
+    # no donation: concurrent searches may still hold the previous buffer
     return jax.lax.dynamic_update_slice(buffer, rows, (start, 0))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _move_row(buffer: jax.Array, src: jax.Array, dst: jax.Array):
     row = jax.lax.dynamic_slice(buffer, (src, 0), (1, buffer.shape[1]))
     return jax.lax.dynamic_update_slice(buffer, row, (dst, 0))
@@ -46,55 +56,75 @@ class UpdatableIndex:
             raise ValueError("dim and capacity must be >= 1")
         self.dim = dim
         self.capacity = capacity
-        self._buffer = jnp.zeros((capacity, dim), jnp.float32)
-        self._ids: List = []
-        self._pos: Dict = {}
+        # (buffer, ids tuple, id->pos dict) — replaced wholesale per update
+        self._state: Tuple[jax.Array, tuple, Dict] = (
+            jnp.zeros((capacity, dim), jnp.float32), (), {})
 
     def __len__(self) -> int:
-        return len(self._ids)
+        return len(self._state[1])
+
+    @property
+    def n_docs(self) -> int:
+        """Current live document count (the serving /healthz figure)."""
+        return len(self._state[1])
+
+    @property
+    def _buffer(self) -> jax.Array:  # kept for introspection/tests
+        return self._state[0]
+
+    @property
+    def ids(self) -> tuple:
+        return self._state[1]
 
     def add(self, embeddings, ids: Sequence) -> None:
+        buffer, cur_ids, pos = self._state
         emb = np.asarray(embeddings, np.float32)
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"expected (N, {self.dim}) embeddings")
         if len(ids) != emb.shape[0]:
             raise ValueError("ids length mismatch")
-        dupes = [i for i in ids if i in self._pos]
+        dupes = [i for i in ids if i in pos]
         if dupes:
             raise KeyError(f"ids already present: {dupes[:5]}")
-        if len(self._ids) + len(ids) > self.capacity:
+        if len(set(ids)) != len(ids):
+            raise KeyError("duplicate ids within one add")
+        if len(cur_ids) + len(ids) > self.capacity:
             raise RuntimeError(
                 f"capacity {self.capacity} exceeded "
-                f"({len(self._ids)} + {len(ids)})")
-        start = len(self._ids)
-        rows = np.asarray(l2_normalize(jnp.asarray(emb)))
-        self._buffer = _write_rows(self._buffer, jnp.asarray(rows),
-                                   jnp.int32(start))
+                f"({len(cur_ids)} + {len(ids)})")
+        start = len(cur_ids)
+        rows = l2_normalize(jnp.asarray(emb))
+        new_buffer = _write_rows(buffer, rows, jnp.int32(start))
+        new_pos = dict(pos)
         for j, i in enumerate(ids):
-            self._pos[i] = start + j
-            self._ids.append(i)
+            new_pos[i] = start + j
+        self._state = (new_buffer, cur_ids + tuple(ids), new_pos)
 
     def remove(self, ids: Sequence) -> None:
+        buffer, cur_ids, pos = self._state
+        id_list: List = list(cur_ids)
+        new_pos = dict(pos)
         for i in ids:
-            if i not in self._pos:
+            if i not in new_pos:
                 raise KeyError(f"unknown id: {i!r}")
-            pos = self._pos.pop(i)
-            last = len(self._ids) - 1
-            last_id = self._ids[last]
-            if pos != last:  # swap-with-last, O(1)
-                self._buffer = _move_row(self._buffer, jnp.int32(last),
-                                         jnp.int32(pos))
-                self._ids[pos] = last_id
-                self._pos[last_id] = pos
-            self._ids.pop()
+            p = new_pos.pop(i)
+            last = len(id_list) - 1
+            last_id = id_list[last]
+            if p != last:  # swap-with-last, O(1)
+                buffer = _move_row(buffer, jnp.int32(last), jnp.int32(p))
+                id_list[p] = last_id
+                new_pos[last_id] = p
+            id_list.pop()
+        self._state = (buffer, tuple(id_list), new_pos)
 
     def search(self, queries, k: int = 10) -> Tuple[np.ndarray, List[list]]:
         """→ (scores (Q, k'), per-query id lists), k' = min(k, len(self))."""
-        if not self._ids:
+        buffer, cur_ids, _ = self._state    # one consistent snapshot
+        if not cur_ids:
             raise RuntimeError("index is empty")
-        k = min(k, len(self._ids))
+        k = min(k, len(cur_ids))
         s, i = _masked_search(jnp.asarray(queries, jnp.float32),
-                              self._buffer, jnp.int32(len(self._ids)), k)
+                              buffer, jnp.int32(len(cur_ids)), k)
         s, i = np.asarray(s), np.asarray(i)
-        ids = [[self._ids[j] for j in row] for row in i]
+        ids = [[cur_ids[j] for j in row] for row in i]
         return s, ids

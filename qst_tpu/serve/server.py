@@ -7,6 +7,11 @@ server over a :class:`qst_tpu.retrieval.Retriever`:
   → ``{"results": [[[doc_id, score(, text)], ...], ...]}``
 - ``POST /encode``   ``{"texts": [...]}`` → ``{"embeddings": [[...], ...]}``
 - ``GET  /healthz``  → ``{"ok": true, "n_docs": N}``
+- ``POST /docs``     ``{"texts": [...](, "ids": [...])}`` → ``{"ids": [...]}``
+  and ``DELETE /docs`` ``{"ids": [...]}`` → online corpus updates, served
+  when the retriever is backed by an ``UpdatableIndex``
+  (``Retriever.build_updatable``); in-flight searches keep a consistent
+  snapshot, writers are serialized by the server
 
 Concurrent requests are funneled through a :class:`DynamicBatcher` per
 endpoint, so many small clients share one batched device call (the TPU
@@ -65,6 +70,9 @@ class RetrievalServer:
         self._encode_batcher = DynamicBatcher(
             self._encode_batch, max_batch=max_batch, max_wait_s=max_wait_s,
             workers=workers)
+        # serializes /docs writers (UpdatableIndex updates are lock-free
+        # vs concurrent readers but not vs each other)
+        self._write_lock = threading.Lock()
 
     # ---------------- batched device calls (collector threads) ----------
     @staticmethod
@@ -126,10 +134,13 @@ class RetrievalServer:
                 else:
                     self._reply(404, {"error": "unknown path"})
 
+            def _body(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
             def do_POST(self):
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n) or b"{}")
+                    req = self._body()
                 except (ValueError, json.JSONDecodeError):
                     self._reply(400, {"error": "invalid JSON"})
                     return
@@ -138,11 +149,29 @@ class RetrievalServer:
                         self._reply(200, server._handle_search(req))
                     elif self.path == "/encode":
                         self._reply(200, server._handle_encode(req))
+                    elif self.path == "/docs":
+                        self._reply(200, server._handle_add_docs(req))
                     else:
                         self._reply(404, {"error": "unknown path"})
-                except ValueError as e:
+                except (ValueError, KeyError) as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:   # device/runtime failure
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_DELETE(self):
+                try:
+                    req = self._body()
+                except (ValueError, json.JSONDecodeError):
+                    self._reply(400, {"error": "invalid JSON"})
+                    return
+                try:
+                    if self.path == "/docs":
+                        self._reply(200, server._handle_remove_docs(req))
+                    else:
+                        self._reply(404, {"error": "unknown path"})
+                except (ValueError, KeyError) as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         self._httpd = _Server((self._host, self._port), Handler)
@@ -168,6 +197,35 @@ class RetrievalServer:
                 for q in queries]
         return {"results": [f.result() for f in futs]}
 
+    def _handle_add_docs(self, req) -> dict:
+        texts = req.get("texts")
+        if (not isinstance(texts, list) or not texts
+                or not all(isinstance(t, str) for t in texts)):
+            raise ValueError("'texts' must be a non-empty list of strings")
+        ids = req.get("ids")
+        if ids is not None and (not isinstance(ids, list)
+                                or len(ids) != len(texts)):
+            raise ValueError("'ids' must be a list matching 'texts'")
+        if not getattr(self.retriever, "_is_updatable", lambda: False)():
+            raise ValueError(
+                "index is static — serve a Retriever.build_updatable() "
+                "retriever to add documents online")
+        with self._write_lock:
+            out = self.retriever.add_docs(texts, ids)
+        return {"ids": list(out)}
+
+    def _handle_remove_docs(self, req) -> dict:
+        ids = req.get("ids")
+        if not isinstance(ids, list) or not ids:
+            raise ValueError("'ids' must be a non-empty list")
+        if not getattr(self.retriever, "_is_updatable", lambda: False)():
+            raise ValueError(
+                "index is static — serve a Retriever.build_updatable() "
+                "retriever to remove documents online")
+        with self._write_lock:
+            self.retriever.remove_docs(ids)
+        return {"removed": len(ids)}
+
     def _handle_encode(self, req) -> dict:
         texts = req.get("texts")
         if (not isinstance(texts, list) or not texts
@@ -187,7 +245,9 @@ class RetrievalServer:
                 or not 1 <= k <= self._k_max):
             raise ValueError(f"'k' must be an int in [1, {self._k_max}]")
         want_texts = bool(req.get("return_texts", False))
-        if want_texts and not getattr(self.retriever, "_doc_texts", None):
+        if want_texts and not (
+                getattr(self.retriever, "_doc_texts", None)
+                or getattr(self.retriever, "_texts_by_id", None)):
             raise ValueError(
                 "'return_texts' requested but the index was loaded without "
                 "document texts")

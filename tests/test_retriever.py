@@ -122,3 +122,57 @@ def test_search_stream_matches_search():
     r2 = Retriever(MockEncoder())
     with pytest.raises(RuntimeError, match="no index"):
         list(r2.search_stream([DOCS[:1]]))
+
+
+# ------------------------------------------------- updatable (mutable) mode
+def test_updatable_add_search_remove():
+    r = Retriever(MockEncoder()).build_updatable(DOCS[:3], capacity=64)
+    rows = r.search(["a cat sits on the mat"], k=2, return_texts=True)
+    assert rows[0][0][0] == 0 and rows[0][0][2] == DOCS[0]
+    # add two more docs online; ids auto-assigned after the first 3
+    new_ids = r.add_docs(DOCS[3:])
+    assert new_ids == [3, 4]
+    rows = r.search(["pasta with tomato sauce"], k=1)
+    assert rows[0][0][0] == 3
+    r.remove_docs([3])
+    rows = r.search(["pasta with tomato sauce"], k=5)
+    assert all(doc_id != 3 for doc_id, _ in rows[0])
+
+
+def test_updatable_guards_and_snapshot(tmp_path):
+    r = Retriever(MockEncoder())
+    with pytest.raises(RuntimeError, match="updatable"):
+        r.add_docs(["x"])
+    r.build_updatable(DOCS, ids=list("abcde"), capacity=16)
+    with pytest.raises(RuntimeError, match="static"):
+        list(r.search_stream([["q"]], k=1))
+    # save() persists a static snapshot reloadable as an ExactIndex
+    r.save(str(tmp_path / "snap"))
+    r2 = Retriever(MockEncoder()).load(str(tmp_path / "snap"))
+    rows = r2.search(["a dog runs in the park"], k=1, return_texts=True)
+    assert rows[0][0][0] == "c" and rows[0][0][2] == DOCS[2]
+    # euclid score is rejected for the normalized buffer
+    with pytest.raises(ValueError, match="cos_sim"):
+        Retriever(MockEncoder(), score="euclid_score").build_updatable(DOCS)
+
+
+def test_updatable_inflight_snapshot_survives_update():
+    """A search that captured the pre-update state must stay valid (no
+    donated-buffer deletion) and map ids consistently."""
+    import jax.numpy as jnp
+
+    from qst_tpu.retrieval.updatable import UpdatableIndex, _masked_search
+
+    idx = UpdatableIndex(dim=8, capacity=32)
+    emb = np.eye(8, dtype=np.float32)[:4]
+    idx.add(emb, ["a", "b", "c", "d"])
+    buffer, ids, _ = idx._state          # in-flight snapshot
+    idx.remove(["a"])                    # concurrent writer publishes
+    idx.add(np.eye(8, dtype=np.float32)[4:6], ["e", "f"])
+    # the old snapshot still searches correctly
+    s, i = _masked_search(jnp.asarray(emb[:1]), buffer, jnp.int32(len(ids)),
+                          1)
+    assert ids[int(np.asarray(i)[0, 0])] == "a"
+    # and the new state reflects the updates
+    s2, ids2 = idx.search(emb[:1], k=4)
+    assert "a" not in ids2[0] and len(idx) == 5

@@ -154,10 +154,10 @@ def server():
     srv.stop()
 
 
-def _post(port, path, obj, timeout=10):
+def _post(port, path, obj, timeout=10, method="POST"):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
-        headers={"Content-Type": "application/json"})
+        headers={"Content-Type": "application/json"}, method=method)
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         return json.loads(resp.read())
 
@@ -239,3 +239,86 @@ def test_server_from_saved_index(tmp_path):
             (d, pytest.approx(s), t) for d, s, t in want]
     finally:
         srv.stop()
+
+
+# --------------------------------------------------- online corpus updates
+def test_server_online_doc_updates():
+    r = Retriever(MockEncoder()).build_updatable(DOCS[:10], capacity=256)
+    srv = RetrievalServer(r, max_wait_s=0.001)
+    port = srv.start()
+    try:
+        h = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10).read())
+        assert h["n_docs"] == 10
+        # add a distinctive doc online, then find it
+        out = _post(port, "/docs", {"texts": ["zebra stripes in sunlight"],
+                                    "ids": ["zebra"]})
+        assert out["ids"] == ["zebra"]
+        # the mock hash embedding is exact-text keyed: query with the
+        # added doc's exact text (self-similarity 1.0)
+        res = _post(port, "/search",
+                    {"queries": ["zebra stripes in sunlight"],
+                     "k": 1, "return_texts": True})
+        assert res["results"][0][0][0] == "zebra"
+        assert res["results"][0][0][2] == "zebra stripes in sunlight"
+        # remove it; it must no longer be returned
+        out = _post(port, "/docs", {"ids": ["zebra"]}, method="DELETE")
+        assert out == {"removed": 1}
+        res = _post(port, "/search",
+                    {"queries": ["zebra stripes in sunlight"], "k": 5})
+        assert all(row[0] != "zebra" for row in res["results"][0])
+        # bad inputs
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/docs", {"texts": []})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/docs", {"ids": ["missing"]}, method="DELETE")
+        assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_server_static_index_rejects_doc_updates(server):
+    srv, port, r = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/docs", {"texts": ["new doc"]})
+    assert e.value.code == 400
+    assert "static" in json.loads(e.value.read())["error"]
+
+
+def test_server_concurrent_search_during_updates():
+    """Searches racing online adds/removes must never crash or return a
+    deleted buffer — every response is well-formed."""
+    r = Retriever(MockEncoder()).build_updatable(
+        [f"base document {i}" for i in range(20)], capacity=512)
+    srv = RetrievalServer(r, max_wait_s=0.001)
+    port = srv.start()
+    errors = []
+
+    def searcher(seed):
+        try:
+            for q in range(25):
+                res = _post(port, "/search",
+                            {"queries": [f"document {seed} {q}"], "k": 3})
+                assert len(res["results"][0]) == 3
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def writer():
+        try:
+            for b in range(10):
+                ids = _post(port, "/docs", {
+                    "texts": [f"streamed doc {b}-{j}" for j in range(4)]
+                })["ids"]
+                _post(port, "/docs", {"ids": ids[:2]}, method="DELETE")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=searcher, args=(i,))
+               for i in range(4)] + [threading.Thread(target=writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.stop()
+    assert not errors, errors
