@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batcher collector threads; >1 keeps a second "
                    "batch in flight so host transfers overlap device "
                    "compute")
+    s.add_argument("--updatable", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="serve a MUTABLE corpus: load the index into a "
+                   "fixed-capacity UpdatableIndex so POST/DELETE /docs "
+                   "add/remove documents online (requires docs.json in "
+                   "the index dir; cos/dot scores only)")
+    s.add_argument("--capacity", type=int, default=0,
+                   help="updatable buffer capacity (default: 2x the "
+                   "loaded corpus, min 65536)")
     s.add_argument("--encoder_preset", default="minilm-l6")
     s.add_argument("--vocab_path", default=None)
     s.add_argument("--model_path", default=None)
@@ -130,6 +139,10 @@ def main(argv=None) -> int:
         from qst_tpu.serve import RetrievalServer
 
         retriever = Retriever(_encoder(args)).load(args.index_dir)
+        if args.updatable:
+            retriever.to_updatable(capacity=args.capacity)
+            logger.info("updatable serving: capacity %d (POST/DELETE /docs "
+                        "enabled)", retriever.index.capacity)
         server = RetrievalServer(
             retriever, host=args.host, port=args.port,
             max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3,

@@ -132,6 +132,35 @@ class Retriever:
             self.add_docs(docs, ids)
         return self
 
+    def to_updatable(self, capacity: int = 0) -> "Retriever":
+        """Convert a built/loaded STATIC index into an updatable one in
+        place (reuses the existing embeddings — no re-encode): the serving
+        path for ``index_main serve --updatable``. ``capacity`` defaults
+        to 2× the corpus (min 65536)."""
+        from qst_tpu.retrieval.updatable import UpdatableIndex
+
+        if self.index is None:
+            raise RuntimeError("no index built or loaded")
+        if self._is_updatable():
+            return self
+        if self.score not in ("cos_sim", "dot_score"):
+            raise ValueError(
+                "updatable retrieval serves cos_sim/dot_score only "
+                f"(normalized buffer), got {self.score!r}")
+        emb = np.asarray(self.index.embeddings,
+                         np.float32)[: self.index.n_docs]
+        ids = list(self.index.ids)
+        capacity = capacity or max(65536, 2 * len(ids))
+        new = UpdatableIndex(emb.shape[1], capacity=capacity)
+        new.add(emb, ids)
+        self._texts_by_id = (dict(zip(ids, self._doc_texts))
+                             if self._doc_texts else {})
+        self._next_auto_id = 1 + max(
+            [-1] + [i for i in ids if isinstance(i, int)])
+        self.index = new
+        self._pos_of = None
+        return self
+
     def _is_updatable(self) -> bool:
         from qst_tpu.retrieval.updatable import UpdatableIndex
 
@@ -275,7 +304,7 @@ class Retriever:
         fetch_k = max(k, rerank_k) if rerank_k else k
         if updatable:
             scores, ids = self.index.search(np.asarray(q_emb), k=fetch_k)
-            text_of = self._texts_by_id.__getitem__
+            text_of = self._texts_by_id.get
         else:
             scores, ids = self.index.search_ids(q_emb, k=fetch_k,
                                                 score=self.score)

@@ -176,3 +176,22 @@ def test_updatable_inflight_snapshot_survives_update():
     # and the new state reflects the updates
     s2, ids2 = idx.search(emb[:1], k=4)
     assert "a" not in ids2[0] and len(idx) == 5
+
+
+def test_to_updatable_conversion(tmp_path):
+    """A loaded static index converts in place (no re-encode) and then
+    accepts online updates; results match the static search."""
+    r = Retriever(MockEncoder()).build(DOCS, ids=list("abcde"))
+    static_rows = r.search([DOCS[1]], k=3, return_texts=True)
+    r.to_updatable()
+    assert r._is_updatable() and r.index.capacity >= 2 * len(DOCS)
+    rows = r.search([DOCS[1]], k=3, return_texts=True)
+    assert [x[0] for x in rows[0]] == [x[0] for x in static_rows[0]]
+    assert rows[0][0][2] == DOCS[1]
+    r.add_docs(["a brand new document"], ids=["new"])
+    got = r.search(["a brand new document"], k=1)
+    assert got[0][0][0] == "new"
+    # idempotent; and auto-id counter skips non-int ids
+    r.to_updatable()
+    auto = r.add_docs(["another one"])
+    assert auto == [0]
