@@ -95,11 +95,24 @@ class Retriever:
         self.mesh = mesh
         self.score = score
         self.reranker = reranker
-        self.index: Optional[Any] = None
+        self._index: Optional[Any] = None
         self._doc_texts: List[str] = []
         self._texts_by_id: dict = {}
         self._next_auto_id = 0
         self._pos_of: Optional[dict] = None
+
+    @property
+    def index(self) -> Optional[Any]:
+        return self._index
+
+    @index.setter
+    def index(self, value) -> None:
+        # direct assignment (retr.index = ExactIndex(...)) is a documented
+        # pattern — invalidate the cached id→position map so a later
+        # return_texts/rerank search can't map the NEW index's ids through
+        # the OLD index's positions
+        self._index = value
+        self._pos_of = None
 
     def _pos(self) -> dict:
         """id → corpus position, built once per index (constructing a
@@ -120,11 +133,8 @@ class Retriever:
         normalized rows, so dot == cos)."""
         from qst_tpu.retrieval.updatable import UpdatableIndex
 
-        if self.score not in ("cos_sim", "dot_score"):
-            raise ValueError(
-                "updatable retrieval serves cos_sim/dot_score only "
-                f"(normalized buffer), got {self.score!r}")
         probe = np.asarray(self.encoder.encode(["dimension probe"]))
+        self._check_updatable_score(probe)
         self.index = UpdatableIndex(int(probe.shape[1]), capacity=capacity)
         self._texts_by_id = {}
         self._next_auto_id = 0
@@ -143,12 +153,9 @@ class Retriever:
             raise RuntimeError("no index built or loaded")
         if self._is_updatable():
             return self
-        if self.score not in ("cos_sim", "dot_score"):
-            raise ValueError(
-                "updatable retrieval serves cos_sim/dot_score only "
-                f"(normalized buffer), got {self.score!r}")
         emb = np.asarray(self.index.embeddings,
                          np.float32)[: self.index.n_docs]
+        self._check_updatable_score(emb[: 1024])
         ids = list(self.index.ids)
         capacity = capacity or max(65536, 2 * len(ids))
         new = UpdatableIndex(emb.shape[1], capacity=capacity)
@@ -160,6 +167,25 @@ class Retriever:
         self.index = new
         self._pos_of = None
         return self
+
+    def _check_updatable_score(self, sample: np.ndarray) -> None:
+        """The updatable buffer stores L2-normalized rows (cosine
+        semantics). cos_sim is always fine; dot_score is only exact when
+        the vectors are already unit-norm — otherwise normalization would
+        silently rescale every dot score, changing rankings."""
+        if self.score == "cos_sim":
+            return
+        if self.score != "dot_score":
+            raise ValueError(
+                "updatable retrieval serves cos_sim/dot_score only "
+                f"(normalized buffer), got {self.score!r}")
+        norms = np.linalg.norm(np.asarray(sample, np.float32), axis=-1)
+        if norms.size and float(np.abs(norms - 1.0).max()) > 1e-2:
+            raise ValueError(
+                "dot_score over an updatable index needs unit-norm "
+                "embeddings (the buffer normalizes rows, which would "
+                "change non-normalized dot rankings) — use score='cos_sim' "
+                "or normalize the encoder output")
 
     def _is_updatable(self) -> bool:
         from qst_tpu.retrieval.updatable import UpdatableIndex
@@ -182,8 +208,8 @@ class Retriever:
         self._next_auto_id = max(
             [self._next_auto_id] + [i + 1 for i in ids
                                     if isinstance(i, int)])
-        for i, t in zip(ids, docs):
-            self._texts_by_id[i] = t
+        # copy-on-write: concurrent searches keep a consistent text map
+        self._texts_by_id = {**self._texts_by_id, **dict(zip(ids, docs))}
         return list(ids)
 
     def remove_docs(self, ids: Sequence) -> None:
@@ -191,8 +217,9 @@ class Retriever:
             raise RuntimeError(
                 "remove_docs needs an updatable index (build_updatable())")
         self.index.remove(list(ids))
-        for i in ids:
-            self._texts_by_id.pop(i, None)
+        gone = set(ids)
+        self._texts_by_id = {i: t for i, t in self._texts_by_id.items()
+                             if i not in gone}
 
     def build(self, docs: Sequence[str],
               ids: Optional[Sequence] = None) -> "Retriever":
@@ -303,8 +330,16 @@ class Retriever:
         q_emb = _encode_device(self.encoder, list(queries))
         fetch_k = max(k, rerank_k) if rerank_k else k
         if updatable:
-            scores, ids = self.index.search(np.asarray(q_emb), k=fetch_k)
+            if len(self.index) == 0:
+                # an emptied serving corpus answers with no hits, not a
+                # server error for every request
+                return [[] for _ in queries]
+            # snapshot the text map BEFORE the search: the map is replaced
+            # (never mutated) on updates, so a racing DELETE cannot null
+            # out texts for docs the index snapshot legitimately returns
+            # (a racing add may briefly pair its doc with a null text)
             text_of = self._texts_by_id.get
+            scores, ids = self.index.search(np.asarray(q_emb), k=fetch_k)
         else:
             scores, ids = self.index.search_ids(q_emb, k=fetch_k,
                                                 score=self.score)

@@ -34,9 +34,12 @@ def _write_rows(buffer: jax.Array, rows: jax.Array, start: jax.Array):
 
 
 @jax.jit
-def _move_row(buffer: jax.Array, src: jax.Array, dst: jax.Array):
-    row = jax.lax.dynamic_slice(buffer, (src, 0), (1, buffer.shape[1]))
-    return jax.lax.dynamic_update_slice(buffer, row, (dst, 0))
+def _permute_rows(buffer: jax.Array, perm: jax.Array):
+    # one full-buffer gather applies ALL of a remove()'s swap-with-last
+    # moves at once (per-id dynamic_update_slice copies would each stream
+    # the whole buffer; with a multi-GB serving buffer that made a batch
+    # delete O(R × capacity) of HBM traffic)
+    return jnp.take(buffer, perm, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -104,18 +107,28 @@ class UpdatableIndex:
         buffer, cur_ids, pos = self._state
         id_list: List = list(cur_ids)
         new_pos = dict(pos)
+        # simulate every swap-with-last on the host id list first …
         for i in ids:
             if i not in new_pos:
                 raise KeyError(f"unknown id: {i!r}")
             p = new_pos.pop(i)
             last = len(id_list) - 1
             last_id = id_list[last]
-            if p != last:  # swap-with-last, O(1)
-                buffer = _move_row(buffer, jnp.int32(last), jnp.int32(p))
+            if p != last:
                 id_list[p] = last_id
                 new_pos[last_id] = p
             id_list.pop()
-        self._state = (buffer, tuple(id_list), new_pos)
+        # … then apply all row moves as ONE device gather: slot p must end
+        # up holding the row of the id that now lives there (identity for
+        # untouched slots; old positions come from the pre-remove map)
+        perm = np.arange(self.capacity, dtype=np.int32)
+        for p, i in enumerate(id_list):
+            old_p = pos[i]
+            if old_p != p:
+                perm[p] = old_p
+        new_buffer = (buffer if (perm == np.arange(self.capacity)).all()
+                      else _permute_rows(buffer, jnp.asarray(perm)))
+        self._state = (new_buffer, tuple(id_list), new_pos)
 
     def search(self, queries, k: int = 10) -> Tuple[np.ndarray, List[list]]:
         """→ (scores (Q, k'), per-query id lists), k' = min(k, len(self))."""

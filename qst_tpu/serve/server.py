@@ -106,9 +106,9 @@ class RetrievalServer:
         return out
 
     def _encode_batch(self, texts):
-        B = self._bucket(len(texts), self._max_batch)
-        padded = list(texts) + [texts[0]] * (B - len(texts))
-        emb = np.asarray(self.retriever.encoder.encode(padded))
+        # no server-side shape padding: SentenceEncoder already buckets
+        # both batch size and sequence length to fixed compile shapes
+        emb = np.asarray(self.retriever.encoder.encode(list(texts)))
         return [emb[i].tolist() for i in range(len(texts))]
 
     # ---------------- lifecycle ----------------------------------------
@@ -203,9 +203,12 @@ class RetrievalServer:
                 or not all(isinstance(t, str) for t in texts)):
             raise ValueError("'texts' must be a non-empty list of strings")
         ids = req.get("ids")
-        if ids is not None and (not isinstance(ids, list)
-                                or len(ids) != len(texts)):
-            raise ValueError("'ids' must be a list matching 'texts'")
+        if ids is not None and (
+                not isinstance(ids, list) or len(ids) != len(texts)
+                or not all(isinstance(i, (str, int))
+                           and not isinstance(i, bool) for i in ids)):
+            raise ValueError(
+                "'ids' must be a list of strings/ints matching 'texts'")
         if not getattr(self.retriever, "_is_updatable", lambda: False)():
             raise ValueError(
                 "index is static — serve a Retriever.build_updatable() "
@@ -216,8 +219,11 @@ class RetrievalServer:
 
     def _handle_remove_docs(self, req) -> dict:
         ids = req.get("ids")
-        if not isinstance(ids, list) or not ids:
-            raise ValueError("'ids' must be a non-empty list")
+        if (not isinstance(ids, list) or not ids
+                or not all(isinstance(i, (str, int))
+                           and not isinstance(i, bool) for i in ids)):
+            raise ValueError("'ids' must be a non-empty list of "
+                             "strings/ints")
         if not getattr(self.retriever, "_is_updatable", lambda: False)():
             raise ValueError(
                 "index is static — serve a Retriever.build_updatable() "

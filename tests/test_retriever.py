@@ -195,3 +195,37 @@ def test_to_updatable_conversion(tmp_path):
     r.to_updatable()
     auto = r.add_docs(["another one"])
     assert auto == [0]
+
+
+def test_updatable_review_fixes():
+    """Round-3 review regressions: empty-corpus searches answer empty
+    rows; dot_score requires unit-norm vectors; a directly-assigned index
+    invalidates the cached id->position map."""
+    from qst_tpu.retrieval import ExactIndex
+
+    # empty updatable corpus -> empty rows, not an error
+    r = Retriever(MockEncoder()).build_updatable(capacity=16)
+    assert r.search(["anything"], k=3) == [[]]
+
+    # dot_score with non-unit-norm corpus is rejected (normalizing the
+    # buffer would silently change dot rankings)
+    class ScaledEncoder:
+        def encode(self, texts):
+            return 3.0 * hash_embed(list(texts))
+
+    with pytest.raises(ValueError, match="unit-norm"):
+        Retriever(ScaledEncoder(),
+                  score="dot_score").build_updatable(DOCS)
+    st = Retriever(ScaledEncoder(), score="dot_score").build(DOCS)
+    with pytest.raises(ValueError, match="unit-norm"):
+        st.to_updatable()
+
+    # index reassignment must invalidate the cached position map
+    r2 = Retriever(MockEncoder()).build(DOCS, ids=list("abcde"))
+    r2._doc_texts = list(DOCS)
+    r2.search([DOCS[0]], k=2, return_texts=True)  # builds the cache
+    emb = hash_embed(DOCS)
+    r2.index = ExactIndex(emb, ids=list("edcba"))  # reversed id order
+    rows = r2.search([DOCS[0]], k=1, return_texts=True)
+    # id 'e' now denotes position 0 -> text DOCS[0] via the FRESH map
+    assert rows[0][0][0] == "e" and rows[0][0][2] == DOCS[0]

@@ -322,3 +322,19 @@ def test_server_concurrent_search_during_updates():
         t.join()
     srv.stop()
     assert not errors, errors
+
+
+def test_server_doc_update_id_validation():
+    """Unhashable / non-scalar JSON ids are a 400, not a 500."""
+    r = Retriever(MockEncoder()).build_updatable(DOCS[:3], capacity=32)
+    srv = RetrievalServer(r, max_wait_s=0.001)
+    port = srv.start()
+    try:
+        for body, method in [({"texts": ["a"], "ids": [[1]]}, "POST"),
+                             ({"texts": ["a"], "ids": [True]}, "POST"),
+                             ({"ids": [{"x": 1}]}, "DELETE")]:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(port, "/docs", body, method=method)
+            assert e.value.code == 400, body
+    finally:
+        srv.stop()

@@ -81,3 +81,29 @@ def test_search_matches_static_index():
     s_s, ids_s = static.search_ids(np.asarray(
         q / np.linalg.norm(q, axis=1, keepdims=True)), k=3)
     assert ids_u[0] == ids_s[0]
+
+
+def test_batch_remove_single_gather_correctness():
+    """remove() applies all swap-with-last moves as one gather; chained
+    swaps (removing many ids incl. re-moved survivors) must end with every
+    surviving id's original row at its new position."""
+    import numpy as np
+
+    from qst_tpu.retrieval.updatable import UpdatableIndex
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((12, 16)).astype(np.float32)
+    idx = UpdatableIndex(dim=16, capacity=32)
+    ids = [f"id{i}" for i in range(12)]
+    idx.add(emb, ids)
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    # remove a mix: middle, ends, and ids that were themselves moved
+    idx.remove(["id3", "id11", "id0", "id10", "id5"])
+    buffer, cur_ids, pos = idx._state
+    assert set(cur_ids) == set(ids) - {"id3", "id11", "id0", "id10", "id5"}
+    buf = np.asarray(buffer)
+    for p, i in enumerate(cur_ids):
+        orig = int(i[2:])
+        np.testing.assert_allclose(buf[p], norm[orig], rtol=1e-6,
+                                   err_msg=f"{i} at {p}")
+        assert pos[i] == p
