@@ -72,6 +72,11 @@ class DynamicBatcher:
         self._batch_fn = batch_fn
         self._max_batch = max_batch
         self._max_wait_s = max_wait_s
+        self._stats_lock = threading.Lock()
+        self._n_batches = 0
+        self._n_items = 0
+        self._n_errors = 0
+        self._max_seen = 0
         self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._threads = [threading.Thread(target=self._run, daemon=True)
                          for _ in range(workers)]
@@ -97,6 +102,19 @@ class DynamicBatcher:
     def submit(self, payload) -> Any:
         """Block until the batched result for ``payload`` is available."""
         return self.submit_async(payload).result()
+
+    def stats(self) -> dict:
+        """Lifetime counters: batches dispatched, items served, realized
+        mean/max batch size, batch_fn errors."""
+        with self._stats_lock:
+            n_b, n_i = self._n_batches, self._n_items
+            return {
+                "batches": n_b,
+                "items": n_i,
+                "mean_batch": round(n_i / n_b, 2) if n_b else 0.0,
+                "max_batch": self._max_seen,
+                "errors": self._n_errors,
+            }
 
     def close(self) -> None:
         """Stop the collector threads (idempotent). In-flight items enqueued
@@ -143,6 +161,10 @@ class DynamicBatcher:
             if first is None:
                 return
             items = self._drain(first)
+            with self._stats_lock:
+                self._n_batches += 1
+                self._n_items += len(items)
+                self._max_seen = max(self._max_seen, len(items))
             try:
                 results = self._batch_fn([it.payload for it in items])
                 if len(results) != len(items):
@@ -152,6 +174,8 @@ class DynamicBatcher:
                 for it, res in zip(items, results):
                     it._result = res
             except BaseException as e:  # propagate to every waiter
+                with self._stats_lock:
+                    self._n_errors += 1
                 for it in items:
                     it.error = e
             finally:

@@ -7,6 +7,9 @@ server over a :class:`qst_tpu.retrieval.Retriever`:
   → ``{"results": [[[doc_id, score(, text)], ...], ...]}``
 - ``POST /encode``   ``{"texts": [...]}`` → ``{"embeddings": [[...], ...]}``
 - ``GET  /healthz``  → ``{"ok": true, "n_docs": N}``
+- ``GET  /stats``    → uptime, per-endpoint request counts, request
+  latency p50/p95/p99 (ms, sliding window), and per-batcher realized
+  batch-size counters — the serving observability surface
 - ``POST /docs``     ``{"texts": [...](, "ids": [...])}`` → ``{"ids": [...]}``
   and ``DELETE /docs`` ``{"ids": [...]}`` → online corpus updates, served
   when the retriever is backed by an ``UpdatableIndex``
@@ -23,6 +26,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional, Tuple
 
@@ -73,6 +78,11 @@ class RetrievalServer:
         # serializes /docs writers (UpdatableIndex updates are lock-free
         # vs concurrent readers but not vs each other)
         self._write_lock = threading.Lock()
+        # observability: request counts + a sliding latency window
+        self._started_at = time.monotonic()
+        self._stats_lock = threading.Lock()
+        self._req_counts: dict = {}
+        self._latencies: "deque[float]" = deque(maxlen=4096)
 
     # ---------------- batched device calls (collector threads) ----------
     @staticmethod
@@ -131,6 +141,8 @@ class RetrievalServer:
                 if self.path == "/healthz":
                     self._reply(200, {"ok": True,
                                       "n_docs": server.retriever.index.n_docs})
+                elif self.path == "/stats":
+                    self._reply(200, server._stats())
                 else:
                     self._reply(404, {"error": "unknown path"})
 
@@ -146,11 +158,15 @@ class RetrievalServer:
                     return
                 try:
                     if self.path == "/search":
-                        self._reply(200, server._handle_search(req))
+                        self._reply(200, server._observed(
+                            "search", lambda: server._handle_search(req)))
                     elif self.path == "/encode":
-                        self._reply(200, server._handle_encode(req))
+                        self._reply(200, server._observed(
+                            "encode", lambda: server._handle_encode(req)))
                     elif self.path == "/docs":
-                        self._reply(200, server._handle_add_docs(req))
+                        self._reply(200, server._observed(
+                            "add_docs",
+                            lambda: server._handle_add_docs(req)))
                     else:
                         self._reply(404, {"error": "unknown path"})
                 except (ValueError, KeyError) as e:
@@ -166,7 +182,9 @@ class RetrievalServer:
                     return
                 try:
                     if self.path == "/docs":
-                        self._reply(200, server._handle_remove_docs(req))
+                        self._reply(200, server._observed(
+                            "remove_docs",
+                            lambda: server._handle_remove_docs(req)))
                     else:
                         self._reply(404, {"error": "unknown path"})
                 except (ValueError, KeyError) as e:
@@ -187,6 +205,40 @@ class RetrievalServer:
             self._httpd = None
         self._search_batcher.close()
         self._encode_batcher.close()
+
+    # ---------------- observability -------------------------------------
+    def _observed(self, name: str, fn):
+        """Count the request and record its wall latency (successful or
+        not) in the sliding window."""
+        t0 = time.perf_counter()
+        try:
+            return fn()
+        finally:
+            dt = time.perf_counter() - t0
+            with self._stats_lock:
+                self._req_counts[name] = self._req_counts.get(name, 0) + 1
+                self._latencies.append(dt)
+
+    def _stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            counts = dict(self._req_counts)
+
+        def pct(p: float):
+            if not lat:
+                return None
+            return round(
+                lat[min(len(lat) - 1, int(p / 100 * len(lat)))] * 1e3, 2)
+
+        return {
+            "uptime_s": round(time.monotonic() - self._started_at, 1),
+            "n_docs": self.retriever.index.n_docs,
+            "requests": counts,
+            "latency_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99),
+                           "window": len(lat)},
+            "batchers": {"search": self._search_batcher.stats(),
+                         "encode": self._encode_batcher.stats()},
+        }
 
     # ---------------- request handlers (server threads) -----------------
     def _handle_search(self, req) -> dict:

@@ -338,3 +338,20 @@ def test_server_doc_update_id_validation():
             assert e.value.code == 400, body
     finally:
         srv.stop()
+
+
+def test_server_stats_endpoint(server):
+    srv, port, r = server
+    _post(port, "/search", {"queries": ["subject 1"], "k": 2})
+    _post(port, "/encode", {"texts": ["a"]})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10) as resp:
+        st = json.loads(resp.read())
+    assert st["n_docs"] == len(DOCS) and st["uptime_s"] >= 0
+    assert st["requests"]["search"] >= 1
+    assert st["requests"]["encode"] >= 1
+    assert st["latency_ms"]["p50"] is not None
+    assert st["latency_ms"]["window"] >= 2
+    b = st["batchers"]["search"]
+    assert b["batches"] >= 1 and b["items"] >= 1 and b["errors"] == 0
+    assert b["mean_batch"] > 0 and b["max_batch"] >= 1
