@@ -229,3 +229,24 @@ def test_updatable_review_fixes():
     rows = r2.search([DOCS[0]], k=1, return_texts=True)
     # id 'e' now denotes position 0 -> text DOCS[0] via the FRESH map
     assert rows[0][0][0] == "e" and rows[0][0][2] == DOCS[0]
+
+
+def test_updatable_rerank_and_id_reuse():
+    """Cross-encoder reranking works on the mutable path, and a removed
+    id can be re-added with new content."""
+    r = Retriever(MockEncoder(),
+                  reranker=FlipReranker()).build_updatable(DOCS,
+                                                           capacity=32)
+    rows = r.search([DOCS[0]], k=2, rerank_k=4, return_texts=True)
+    # FlipReranker scores longer docs higher: top-1 is the LONGEST of the
+    # four dense candidates, not the dense top-1
+    assert len(rows[0]) == 2
+    texts = [t for _, _, t in rows[0]]
+    assert texts[0] == max(texts, key=len)
+
+    r.remove_docs([0])
+    r.add_docs(["a replacement zeroth document"], ids=[0])
+    got = r.search(["a replacement zeroth document"], k=1,
+                   return_texts=True)
+    assert got[0][0][0] == 0
+    assert got[0][0][2] == "a replacement zeroth document"
