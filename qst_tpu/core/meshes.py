@@ -117,6 +117,18 @@ def global_array_from_local(local, mesh: Mesh, spec: P) -> jax.Array:
         sharding, np.asarray(local))
 
 
+def flat_shard_index(axes=(DATA_AXIS, MODEL_AXIS)):
+    """Row-major linear shard id over the given mesh axes — for use INSIDE
+    a ``shard_map`` body (every sharded-retrieval kernel derives its row
+    offset from this)."""
+    import jax
+
+    idx = jax.lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return idx
+
+
 def make_mesh(
     data: int = -1,
     model: int = 1,

@@ -195,11 +195,9 @@ def _sharded_search_fn(mesh: Mesh, k: int, score: str, shard_rows: int,
     axes = (DATA_AXIS, MODEL_AXIS)
 
     def shard_search(q, c_shard, n_real):
-        # flattened linear shard id over both axes
-        di = jax.lax.axis_index(DATA_AXIS)
-        mi = jax.lax.axis_index(MODEL_AXIS)
-        shard_id = di * jax.lax.axis_size(MODEL_AXIS) + mi
-        base = shard_id * shard_rows
+        from qst_tpu.core.meshes import flat_shard_index
+
+        base = flat_shard_index(axes) * shard_rows
         if pallas:
             from qst_tpu.ops.topk_pallas import pallas_topk_local
 

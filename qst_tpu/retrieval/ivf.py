@@ -194,9 +194,9 @@ def _sharded_ivf_search_fn(mesh: Mesh, n_probe: int, k: int,
     axes = (DATA_AXIS, MODEL_AXIS)
 
     def body(q, centroids, cells_shard, ids_shard):
-        di = jax.lax.axis_index(DATA_AXIS)
-        mi = jax.lax.axis_index(MODEL_AXIS)
-        base = (di * jax.lax.axis_size(MODEL_AXIS) + mi) * cells_per_shard
+        from qst_tpu.core.meshes import flat_shard_index
+
+        base = flat_shard_index(axes) * cells_per_shard
         qf = l2_normalize(q.astype(jnp.float32))
         csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
         _, probe = jax.lax.top_k(csim, n_probe)             # (Q, P) global
@@ -262,9 +262,9 @@ def _sharded_ivf_pallas_fn(mesh: Mesh, k: int, n_probe: int,
     L = budget
 
     def body(q, centroids, cells_shard, ids_shard, fill):
-        di = jax.lax.axis_index(DATA_AXIS)
-        mi = jax.lax.axis_index(MODEL_AXIS)
-        base = (di * jax.lax.axis_size(MODEL_AXIS) + mi) * cells_per_shard
+        from qst_tpu.core.meshes import flat_shard_index
+
+        base = flat_shard_index(axes) * cells_per_shard
         Q = q.shape[0]
         qf = l2_normalize(q.astype(jnp.float32))
         csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)

@@ -93,10 +93,9 @@ def _sharded_tile_fn(mesh: Mesh, k: int, shard_rows: int, *,
     axes = (DATA_AXIS, MODEL_AXIS)
 
     def step(q, tile_shard, base, n_valid, carry_s, carry_i):
-        di = jax.lax.axis_index(DATA_AXIS)
-        mi = jax.lax.axis_index(MODEL_AXIS)
-        shard_id = di * jax.lax.axis_size(MODEL_AXIS) + mi
-        local_off = shard_id * shard_rows
+        from qst_tpu.core.meshes import flat_shard_index
+
+        local_off = flat_shard_index(axes) * shard_rows
         if normalize:
             tile_shard = l2_normalize(
                 tile_shard.astype(jnp.float32)).astype(tile_shard.dtype)

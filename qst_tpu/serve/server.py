@@ -249,37 +249,39 @@ class RetrievalServer:
                 for q in queries]
         return {"results": [f.result() for f in futs]}
 
+    @staticmethod
+    def _valid_ids(ids) -> bool:
+        return (isinstance(ids, list)
+                and all(isinstance(i, (str, int))
+                        and not isinstance(i, bool) for i in ids))
+
+    def _require_updatable(self, action: str) -> None:
+        if not getattr(self.retriever, "_is_updatable", lambda: False)():
+            raise ValueError(
+                "index is static — serve a Retriever.build_updatable() "
+                f"retriever to {action} documents online")
+
     def _handle_add_docs(self, req) -> dict:
         texts = req.get("texts")
         if (not isinstance(texts, list) or not texts
                 or not all(isinstance(t, str) for t in texts)):
             raise ValueError("'texts' must be a non-empty list of strings")
         ids = req.get("ids")
-        if ids is not None and (
-                not isinstance(ids, list) or len(ids) != len(texts)
-                or not all(isinstance(i, (str, int))
-                           and not isinstance(i, bool) for i in ids)):
+        if ids is not None and (not self._valid_ids(ids)
+                                or len(ids) != len(texts)):
             raise ValueError(
                 "'ids' must be a list of strings/ints matching 'texts'")
-        if not getattr(self.retriever, "_is_updatable", lambda: False)():
-            raise ValueError(
-                "index is static — serve a Retriever.build_updatable() "
-                "retriever to add documents online")
+        self._require_updatable("add")
         with self._write_lock:
             out = self.retriever.add_docs(texts, ids)
         return {"ids": list(out)}
 
     def _handle_remove_docs(self, req) -> dict:
         ids = req.get("ids")
-        if (not isinstance(ids, list) or not ids
-                or not all(isinstance(i, (str, int))
-                           and not isinstance(i, bool) for i in ids)):
+        if not ids or not self._valid_ids(ids):
             raise ValueError("'ids' must be a non-empty list of "
                              "strings/ints")
-        if not getattr(self.retriever, "_is_updatable", lambda: False)():
-            raise ValueError(
-                "index is static — serve a Retriever.build_updatable() "
-                "retriever to remove documents online")
+        self._require_updatable("remove")
         with self._write_lock:
             self.retriever.remove_docs(ids)
         return {"removed": len(ids)}
