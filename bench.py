@@ -38,7 +38,33 @@ WINDOWS = 3     # report the best window: the relay/chip occasionally enters
 TARGET_QPS_PER_CHIP = 10_000 / 8
 
 
+def _require_backend(timeout_s: float = 600.0) -> None:
+    """Fail fast (exit 1) if the TPU backend can't initialize within
+    ``timeout_s`` — a wedged relay otherwise blocks PJRT client creation
+    indefinitely and the bench would silently eat the caller's whole
+    timeout (observed: a dead tunnel held ``jax.devices()`` for 25+ min)."""
+    import sys
+    import threading
+
+    ready: list = []
+
+    def probe():
+        import jax
+
+        ready.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ready:
+        print(f"bench: TPU backend failed to initialize within "
+              f"{timeout_s:.0f}s (relay down?)", file=sys.stderr)
+        sys.exit(1)
+
+
 def main() -> None:
+    _require_backend()
+
     import jax
 
     os.makedirs("/root/.cache/jax_comp", exist_ok=True)
