@@ -191,6 +191,11 @@ def main(argv=None) -> int:
         if args.mesh_model > 1:
             raise SystemExit("--pp_stages and --mesh_model are exclusive "
                              "(PP composes with data parallelism only)")
+        if args.use_fused_layer:
+            raise SystemExit(
+                "--pp_stages and --use_fused_layer are exclusive: the "
+                "pipelined trunk runs the Flax layer path (stage chunks "
+                "scanned per tick), not the fused per-layer kernels")
         n_dev = len(jax.devices())
         pp_data = (args.mesh_data if args.mesh_data > 0
                    else max(1, n_dev // args.pp_stages))
