@@ -50,9 +50,11 @@ def ivf_cell_scores_fn(interpret: bool = False, qr: int = 8):
 
     → ``fn(queries (Q, D), cells (C, L, D), probe (Q, P)) → (Q, P·L)`` f32
     scores (query rows padded to a multiple of 8 internally; L — the cell
-    budget — must be a multiple of 8, which IVFIndex's 128-aligned budget
-    guarantees). Scores are raw dot products in the cell dtype; the caller
-    masks padded slots via its fill counts and resolves doc ids."""
+    budget — must be a multiple of 128, which IVFIndex's auto budget
+    guarantees but a hand-set ``cell_budget`` may not — those indexes fall
+    back to the XLA path under backend="auto"). Scores are raw dot
+    products in the cell dtype; the caller masks padded slots via its fill
+    counts and resolves doc ids."""
 
     @jax.jit
     def fn(queries, cells, probe):

@@ -147,26 +147,19 @@ def _scatter_chunk(cells_flat: jax.Array, chunk: jax.Array,
     return cells_flat.at[pos].set(rows)
 
 
-@functools.partial(jax.jit, static_argnames=("n_probe", "k"))
-def _ivf_search(queries, centroids, cells, cell_ids, n_probe, k):
-    """queries (Q, D); cells (C, L, D) padded per-cell doc matrix;
-    cell_ids (C, L) global doc ids (-1 = padding). Scans the ``n_probe``
-    probed cells with a running top-k carry — peak memory is one
-    (Q, L, D) gather, independent of n_probe."""
-    qf = l2_normalize(queries.astype(jnp.float32))
-    csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-    _, probe = jax.lax.top_k(csim, n_probe)                 # (Q, P)
-    qc = qf.astype(cells.dtype)
-    Q = queries.shape[0]
-    L = cells.shape[1]
-    kk = min(k, L)                 # per-cell: a cell holds only L docs
-    kc = min(k, n_probe * L)       # carry: total probed candidate pool
+def _probe_scan(qc, probe, fetch, k: int, budget: int, n_probe: int):
+    """The exactness-critical probe loop shared by the single-device and
+    sharded XLA searches: scan the ``n_probe`` probed cells with a running
+    top-k carry — peak memory one (Q, L, D) gather, independent of
+    n_probe. ``fetch(pid_col) -> (cand (Q, L, D), ids (Q, L))`` supplies
+    each probe column's cell rows + doc ids (-1 = masked/padding)."""
+    Q = qc.shape[0]
+    kk = min(k, budget)            # per-cell: a cell holds only L docs
+    kc = min(k, n_probe * budget)  # carry: total probed candidate pool
 
     def body(carry, p):
         cs, ci = carry
-        pid = probe[:, p]                                   # (Q,)
-        cand = cells[pid]                                   # (Q, L, D)
-        ids = cell_ids[pid]                                 # (Q, L)
+        cand, ids = fetch(probe[:, p])
         s = jnp.einsum("qd,qld->ql", qc, cand,
                        preferred_element_type=jnp.float32)
         s = jnp.where(ids >= 0, s, -jnp.inf)
@@ -182,6 +175,19 @@ def _ivf_search(queries, centroids, cells, cell_ids, n_probe, k):
     (cs, ci), _ = jax.lax.scan(body, init,
                                jnp.arange(n_probe, dtype=jnp.int32))
     return cs, ci
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "k"))
+def _ivf_search(queries, centroids, cells, cell_ids, n_probe, k):
+    """queries (Q, D); cells (C, L, D) padded per-cell doc matrix;
+    cell_ids (C, L) global doc ids (-1 = padding)."""
+    qf = l2_normalize(queries.astype(jnp.float32))
+    csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(csim, n_probe)                 # (Q, P)
+    qc = qf.astype(cells.dtype)
+    return _probe_scan(qc, probe,
+                       lambda pid: (cells[pid], cell_ids[pid]),
+                       k, cells.shape[1], n_probe)
 
 
 def _sharded_ivf_search_fn(mesh: Mesh, n_probe: int, k: int,
@@ -201,31 +207,16 @@ def _sharded_ivf_search_fn(mesh: Mesh, n_probe: int, k: int,
         csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
         _, probe = jax.lax.top_k(csim, n_probe)             # (Q, P) global
         qc = qf.astype(cells_shard.dtype)
-        Q = q.shape[0]
-        kk = min(k, budget)
-        kc = min(k, n_probe * budget)
 
-        def step(carry, p):
-            cs, ci = carry
-            pid = probe[:, p] - base                        # local cell id
+        def fetch(pid_col):
+            pid = pid_col - base                            # local cell id
             in_range = (pid >= 0) & (pid < cells_per_shard)
             pid_c = jnp.clip(pid, 0, cells_per_shard - 1)
-            cand = cells_shard[pid_c]                       # (Q, L, D)
-            ids = jnp.where(in_range[:, None], ids_shard[pid_c], -1)
-            s = jnp.einsum("qd,qld->ql", qc, cand,
-                           preferred_element_type=jnp.float32)
-            s = jnp.where(ids >= 0, s, -jnp.inf)
-            s1, pos = jax.lax.top_k(s, kk)
-            i1 = jnp.take_along_axis(ids, pos, axis=1)
-            s2, pos2 = jax.lax.top_k(jnp.concatenate([cs, s1], axis=1), kc)
-            i2 = jnp.take_along_axis(jnp.concatenate([ci, i1], axis=1),
-                                     pos2, axis=1)
-            return (s2, i2), None
+            return (cells_shard[pid_c],
+                    jnp.where(in_range[:, None], ids_shard[pid_c], -1))
 
-        init = (jnp.full((Q, kc), -jnp.inf, jnp.float32),
-                jnp.full((Q, kc), -1, jnp.int32))
-        (cs, ci), _ = jax.lax.scan(step, init,
-                                   jnp.arange(n_probe, dtype=jnp.int32))
+        cs, ci = _probe_scan(qc, probe, fetch, k, budget, n_probe)
+        kc = min(k, n_probe * budget)
         all_s = jax.lax.all_gather(cs, axes, axis=1, tiled=True)
         all_i = jax.lax.all_gather(ci, axes, axis=1, tiled=True)
         s2, pos = jax.lax.top_k(all_s, kc)
@@ -362,6 +353,12 @@ class IVFIndex:
         n, d = emb.shape
         if n_clusters >= n:
             raise ValueError("n_clusters must be < number of docs")
+        if n > train_sample and n_clusters > train_sample:
+            raise ValueError(
+                f"n_clusters={n_clusters} exceeds train_sample="
+                f"{train_sample}: k-means trains on the sample, which must "
+                "contain at least one point per cluster — raise "
+                "train_sample or lower n_clusters")
         self.ids = list(ids) if ids is not None else list(range(n))
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")

@@ -49,10 +49,10 @@ def encode_keep_device(encode: Any, texts: list):
     supports it (SentenceEncoder's ``convert_to_numpy=False``); plain
     ``encode(texts)`` callables (the duck-typed contract) still work. An
     EXPLICIT ``convert_to_numpy`` parameter is trusted outright; a bare
-    ``**kwargs`` only gets one guarded attempt (a duck-typed encoder that
-    forwards kwargs strictly would otherwise raise at call time), and the
-    retry is issued before any encode work happens so nothing is silently
-    re-run."""
+    ``**kwargs`` gets one guarded attempt, retried WITHOUT the kwarg only
+    when the TypeError names it (a strict kwargs-forwarder rejecting the
+    parameter) — a genuine bad-input TypeError re-raises instead of
+    silently re-running a possibly 50k-doc encode."""
     import inspect
 
     explicit = var_kw = False
@@ -68,7 +68,9 @@ def encode_keep_device(encode: Any, texts: list):
     if var_kw:
         try:
             return encode(texts, convert_to_numpy=False)
-        except TypeError:
+        except TypeError as e:
+            if "convert_to_numpy" not in str(e):
+                raise
             return encode(texts)
     return encode(texts)
 
@@ -281,10 +283,12 @@ class Retriever:
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         pos_of = self._pos() if (return_texts and self._doc_texts) else None
+        from qst_tpu.retrieval.index import _pack_pair, _unpack_host
 
-        def finish(item):
-            s_dev, i_dev = item
-            scores, idx = np.asarray(s_dev), np.asarray(i_dev)
+        def finish(packed):
+            # ONE packed host transfer per batch (scores bitcast alongside
+            # ids) — the same fetch_pair fix the index streaming loop got
+            scores, idx = _unpack_host(np.asarray(packed))
             rows = []
             for qi in range(idx.shape[0]):
                 row = []
@@ -300,8 +304,8 @@ class Retriever:
         pending: List = []
         for queries in query_batches:
             q_emb = _encode_device(self.encoder, list(queries))
-            pending.append(self.index._device_search(
-                q_emb, k, self.score, 131072, "auto"))
+            pending.append(_pack_pair(*self.index._device_search(
+                q_emb, k, self.score, 131072, "auto")))
             if len(pending) >= depth:
                 yield finish(pending.pop(0))
         while pending:

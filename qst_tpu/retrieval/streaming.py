@@ -149,9 +149,12 @@ class StreamingExactIndex:
                  transfer_dtype: str = "bfloat16",
                  ids: Optional[list] = None,
                  mesh: Optional[Mesh] = None):
-        """``mesh``: shard every streamed tile row-wise over all mesh
-        devices — each chip searches tile_rows/n_devices rows with the
-        same fused pipeline and candidates merge over ICI, so the
+        """``normalize``: L2-normalize every tile on device (ExactIndex
+        (normalize=True) semantics — dot searches then see the normalized
+        vectors; a host-side pass over a >HBM corpus would cost a full
+        extra read). ``mesh``: shard every streamed tile row-wise over all
+        mesh devices — each chip searches tile_rows/n_devices rows with
+        the same fused pipeline and candidates merge over ICI, so the
         host-link stream fans out across the slice's chips (a v5e-8
         searches a host corpus ~8× faster than one chip, and the >HBM
         envelope applies per POD SLICE, not per chip)."""
@@ -226,7 +229,10 @@ class StreamingExactIndex:
             qq = l2_normalize(qq)
         qq = qq.astype(self.transfer_dtype)
         Q = qq.shape[0]
-        normalize = score == "cos_sim"
+        # tiles normalize on device when the score needs it OR the index
+        # was constructed with normalize=True (ExactIndex(normalize=True)
+        # semantics: dot/euclid then see the normalized vectors too)
+        normalize = self._normalize_on_device or score == "cos_sim"
 
         n_tiles = -(-self.n_docs // self.tile_rows)
         carry_s = jnp.full((Q, k), -jnp.inf, jnp.float32)

@@ -175,3 +175,8 @@ def test_ivf_pallas_backend_matches_xla(clustered_corpus):
         assert i_p == i_x, f"pallas ids diverge at n_probe={n_probe}"
     with pytest.raises(ValueError, match="backend"):
         ivf.search(queries, backend="nope")
+
+
+def test_ivf_n_clusters_exceeding_train_sample_raises(clustered_corpus):
+    with pytest.raises(ValueError, match="train_sample"):
+        IVFIndex(clustered_corpus, n_clusters=600, train_sample=512)

@@ -156,3 +156,20 @@ def test_streaming_validation(rng):
         idx.search(corpus[:1], score="euclid_score")
     with pytest.raises(ValueError, match="backend"):
         idx.search(corpus[:1], backend="nope")
+
+
+def test_streaming_normalize_flag_applies_to_dot(rng):
+    """normalize=True gives ExactIndex(normalize=True) semantics: dot
+    searches see the NORMALIZED vectors (the flag was previously dead)."""
+    corpus = (rng.standard_normal((600, 16)) * rng.uniform(
+        0.1, 5.0, (600, 1))).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=256,
+                              transfer_dtype="float32", normalize=True)
+    s_dot, i_dot = idx.search(q, k=5, score="dot_score")
+    gs, gi = _golden(q / np.linalg.norm(q, axis=1, keepdims=True),
+                     corpus, 5, "cos_sim")
+    # dot over normalized docs ranks like cosine-of-docs (queries raw,
+    # which scales each row uniformly so the ORDER matches the golden cos
+    # ranking of that query)
+    np.testing.assert_array_equal(i_dot, np.asarray(gi))
