@@ -50,9 +50,10 @@ def encode_keep_device(encode: Any, texts: list):
     ``encode(texts)`` callables (the duck-typed contract) still work. An
     EXPLICIT ``convert_to_numpy`` parameter is trusted outright; a bare
     ``**kwargs`` gets one guarded attempt, retried WITHOUT the kwarg only
-    when the TypeError names it (a strict kwargs-forwarder rejecting the
-    parameter) — a genuine bad-input TypeError re-raises instead of
-    silently re-running a possibly 50k-doc encode."""
+    when the TypeError reads like a keyword rejection (it names the
+    parameter or mentions "keyword"/"option") — a genuine bad-input
+    TypeError re-raises instead of silently re-running a possibly
+    50k-doc encode."""
     import inspect
 
     explicit = var_kw = False
@@ -69,7 +70,9 @@ def encode_keep_device(encode: Any, texts: list):
         try:
             return encode(texts, convert_to_numpy=False)
         except TypeError as e:
-            if "convert_to_numpy" not in str(e):
+            msg = str(e).lower()
+            if not any(t in msg for t in ("convert_to_numpy", "keyword",
+                                          "option")):
                 raise
             return encode(texts)
     return encode(texts)
@@ -157,7 +160,7 @@ class Retriever:
             return self
         emb = np.asarray(self.index.embeddings,
                          np.float32)[: self.index.n_docs]
-        self._check_updatable_score(emb[: 1024])
+        self._check_updatable_score(emb)   # full corpus: one host pass
         ids = list(self.index.ids)
         capacity = capacity or max(65536, 2 * len(ids))
         new = UpdatableIndex(emb.shape[1], capacity=capacity)
@@ -166,8 +169,7 @@ class Retriever:
                              if self._doc_texts else {})
         self._next_auto_id = 1 + max(
             [-1] + [i for i in ids if isinstance(i, int)])
-        self.index = new
-        self._pos_of = None
+        self.index = new   # setter invalidates the id->position cache
         return self
 
     def _check_updatable_score(self, sample: np.ndarray) -> None:
@@ -206,12 +208,19 @@ class Retriever:
             ids = list(range(self._next_auto_id,
                              self._next_auto_id + len(docs)))
         emb = np.asarray(self.encoder.encode(docs))
+        if self.score == "dot_score":
+            # every add re-validates: a single build-time probe can't
+            # vouch for later embeddings' norms
+            self._check_updatable_score(emb)
         self.index.add(emb, list(ids))        # validates before publish
         self._next_auto_id = max(
             [self._next_auto_id] + [i + 1 for i in ids
                                     if isinstance(i, int)])
-        # copy-on-write: concurrent searches keep a consistent text map
-        self._texts_by_id = {**self._texts_by_id, **dict(zip(ids, docs))}
+        # in-place insertion is snapshot-safe (keys only APPEAR; readers
+        # .get by id) and O(batch), unlike a full copy-on-write rebuild —
+        # only removals must preserve the old map (see remove_docs)
+        for i, t in zip(ids, docs):
+            self._texts_by_id[i] = t
         return list(ids)
 
     def remove_docs(self, ids: Sequence) -> None:
@@ -219,6 +228,9 @@ class Retriever:
             raise RuntimeError(
                 "remove_docs needs an updatable index (build_updatable())")
         self.index.remove(list(ids))
+        # copy-on-write (O(corpus), removals are the rare operation): an
+        # in-flight search holding the PRE-remove snapshot keeps resolving
+        # the removed docs' texts from the old map
         gone = set(ids)
         self._texts_by_id = {i: t for i, t in self._texts_by_id.items()
                              if i not in gone}
@@ -232,7 +244,6 @@ class Retriever:
         self.index = ExactIndex(emb, ids=list(ids) if ids is not None
                                 else list(range(len(docs))), mesh=self.mesh)
         self._doc_texts = list(docs)
-        self._pos_of = None
         return self
 
     def save(self, path: str) -> None:
@@ -255,7 +266,6 @@ class Retriever:
 
     def load(self, path: str) -> "Retriever":
         self.index, meta = load_index(path, mesh=self.mesh)
-        self._pos_of = None
         docs_path = os.path.join(path, "docs.json")
         if os.path.isfile(docs_path):
             with open(docs_path) as f:
@@ -334,16 +344,19 @@ class Retriever:
         q_emb = _encode_device(self.encoder, list(queries))
         fetch_k = max(k, rerank_k) if rerank_k else k
         if updatable:
-            if len(self.index) == 0:
-                # an emptied serving corpus answers with no hits, not a
-                # server error for every request
-                return [[] for _ in queries]
-            # snapshot the text map BEFORE the search: the map is replaced
-            # (never mutated) on updates, so a racing DELETE cannot null
-            # out texts for docs the index snapshot legitimately returns
-            # (a racing add may briefly pair its doc with a null text)
+            # snapshot the text map BEFORE the search: removals REPLACE
+            # the map (copy-on-write), so a racing DELETE cannot null out
+            # texts for docs the index snapshot legitimately returns;
+            # adds insert in place, which is also safe (keys only appear)
             text_of = self._texts_by_id.get
-            scores, ids = self.index.search(np.asarray(q_emb), k=fetch_k)
+            try:
+                scores, ids = self.index.search(np.asarray(q_emb),
+                                                k=fetch_k)
+            except RuntimeError:
+                # corpus empty — including emptied by a delete racing this
+                # very call (the snapshot decides, not a pre-check): an
+                # empty serving corpus answers with no hits, not a 500
+                return [[] for _ in queries]
         else:
             scores, ids = self.index.search_ids(q_emb, k=fetch_k,
                                                 score=self.score)
@@ -355,7 +368,10 @@ class Retriever:
         for qi, query in enumerate(queries):
             cand = list(zip(ids[qi], [float(s) for s in scores[qi]]))
             if rerank_k:
-                texts = [text_of(i) for i, _ in cand]
+                # `or ""`: an add racing an updatable search can surface a
+                # doc whose text isn't in the snapshotted map yet — feed
+                # the reranker an empty string rather than crash the batch
+                texts = [text_of(i) or "" for i, _ in cand]
                 ce_scores = np.asarray(
                     self.reranker.predict([(query, t) for t in texts]))
                 order = np.argsort(-ce_scores)[:k]

@@ -116,9 +116,13 @@ class RetrievalServer:
         return out
 
     def _encode_batch(self, texts):
-        # no server-side shape padding: SentenceEncoder already buckets
-        # both batch size and sequence length to fixed compile shapes
-        emb = np.asarray(self.retriever.encoder.encode(list(texts)))
+        # pad to bucketed shapes: redundant for SentenceEncoder (which
+        # buckets internally — the pad collapses to the same compile
+        # shape) but load-bearing for duck-typed encoders that jit on the
+        # realized batch size, which would otherwise recompile per size
+        B = self._bucket(len(texts), self._max_batch)
+        padded = list(texts) + [texts[0]] * (B - len(texts))
+        emb = np.asarray(self.retriever.encoder.encode(padded))
         return [emb[i].tolist() for i in range(len(texts))]
 
     # ---------------- lifecycle ----------------------------------------
