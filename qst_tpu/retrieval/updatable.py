@@ -132,12 +132,17 @@ class UpdatableIndex:
 
     def search(self, queries, k: int = 10) -> Tuple[np.ndarray, List[list]]:
         """→ (scores (Q, k'), per-query id lists), k' = min(k, len(self))."""
+        from qst_tpu.retrieval.index import _pack_pair, _unpack_host
+
         buffer, cur_ids, _ = self._state    # one consistent snapshot
         if not cur_ids:
             raise RuntimeError("index is empty")
         k = min(k, len(cur_ids))
-        s, i = _masked_search(jnp.asarray(queries, jnp.float32),
-                              buffer, jnp.int32(len(cur_ids)), k)
-        s, i = np.asarray(s), np.asarray(i)
+        packed = _pack_pair(*_masked_search(
+            jnp.asarray(queries, jnp.float32), buffer,
+            jnp.int32(len(cur_ids)), k))
+        # one packed host transfer (scores bitcast alongside ids) — same
+        # fetch_pair fix as every other search path
+        s, i = _unpack_host(np.asarray(packed))
         ids = [[cur_ids[j] for j in row] for row in i]
         return s, ids
