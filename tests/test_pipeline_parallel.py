@@ -352,3 +352,20 @@ def test_pp_train_step_stochastic_learns(params):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_pp_circular_v4_matches_sequential(params):
+    """v=4 (8 layers, 2 stages): four wrap rounds through the bank must
+    still reproduce the sequential forward exactly."""
+    cfg8 = dataclasses.replace(CFG, num_layers=8)
+    p8 = init_params(cfg8, jax.random.key(2))
+    mesh = make_pipe_mesh(2, 1)
+    pp_params = pp_params_from_encoder(p8["encoder"], cfg8, 2, mesh,
+                                       n_rounds=4)
+    fwd_pp = jax.jit(make_pp_embed_fn(cfg8, mesh, 2, n_microbatches=2,
+                                      n_rounds=4))
+    fwd_ref = jax.jit(embed_fn(cfg8))
+    ids, mask = _batch(4)
+    np.testing.assert_allclose(
+        np.asarray(fwd_pp(pp_params, ids, mask)),
+        np.asarray(fwd_ref(p8, ids, mask)), rtol=2e-5, atol=2e-5)
