@@ -46,6 +46,62 @@ WORDS = ("cat dog car road mat park plane sky beach sand red small "
 KS = (5, 10, 32, 64)        # per-request k mix
 BATCH_SHAPES = (8, 16, 32, 64, 128, 256)
 
+# Pure-stdlib client worker run via `python -c` in SUBPROCESSES: one
+# Python process of client threads is itself GIL-bound near ~600 req/s
+# (measured — the server had 3-4x headroom at the realized batch size),
+# so --client_procs fans the closed-loop clients over N processes. The
+# worker deliberately imports no jax (a fresh interpreter re-registering
+# the TPU plugin would contend for the chip).
+_CLIENT_WORKER = r"""
+import json, random, sys, threading, time, urllib.request
+url, n_threads, seconds, seed = (sys.argv[1], int(sys.argv[2]),
+                                 float(sys.argv[3]), int(sys.argv[4]))
+words = %r
+ks = %r
+lat = []
+lock = threading.Lock()
+stop_at = time.perf_counter() + seconds
+def client(tid):
+    r = random.Random(seed * 1000 + tid)
+    my = []
+    while time.perf_counter() < stop_at:
+        q = " ".join(r.choice(words) for _ in range(6))
+        k = r.choice(ks)
+        body = json.dumps({"queries": [q], "k": k}).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        my.append(time.perf_counter() - t0)
+        assert len(out["results"][0]) == k
+    with lock:
+        lat.extend(my)
+threads = [threading.Thread(target=client, args=(i,))
+           for i in range(n_threads)]
+for t in threads: t.start()
+for t in threads: t.join()
+print(json.dumps(lat))
+""" % (WORDS, list(KS))
+
+
+def run_load_procs(url, n_procs, threads_per_proc, seconds):
+    """Closed-loop load from n_procs OS processes × threads_per_proc."""
+    import subprocess
+    import sys
+
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _CLIENT_WORKER, url,
+         str(threads_per_proc), str(seconds), str(i)],
+        stdout=subprocess.PIPE, text=True) for i in range(n_procs)]
+    lat = []
+    for p in procs:
+        out, _ = p.communicate(timeout=seconds + 300)
+        lat.extend(json.loads(out))
+    wall = time.perf_counter() - t0
+    return np.sort(np.asarray(lat)) * 1e3, wall
+
 
 def run_load(url, clients, seconds, rng):
     lat = []
@@ -93,6 +149,11 @@ def main():
                          "(same process, warmup amortized)")
     ap.add_argument("--workers", type=str, default="2",
                     help="comma list of batcher worker counts to sweep")
+    ap.add_argument("--client_procs", type=int, default=0,
+                    help=">0: drive each load phase from this many client "
+                         "SUBPROCESSES (clients/procs threads each) so the "
+                         "measurement client is not a single GIL-bound "
+                         "process")
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--n_docs", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=384)
@@ -141,7 +202,12 @@ def main():
         url = f"http://127.0.0.1:{port}/search"
         for clients in client_counts:
             batch_sizes.clear()
-            lat_ms, wall = run_load(url, clients, args.seconds, rng)
+            if args.client_procs > 0:
+                lat_ms, wall = run_load_procs(
+                    url, args.client_procs,
+                    max(1, clients // args.client_procs), args.seconds)
+            else:
+                lat_ms, wall = run_load(url, clients, args.seconds, rng)
             bs = np.asarray(batch_sizes)
             print(f"workers={workers} clients={clients} "
                   f"reqs={len(lat_ms)} wall={wall:.1f}s "
