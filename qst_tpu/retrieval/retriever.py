@@ -134,8 +134,9 @@ class Retriever:
         :class:`UpdatableIndex` (fixed-capacity buffer, one compiled search
         program), then grow/shrink it online via :meth:`add_docs` /
         :meth:`remove_docs` — the RetrievalServer exposes these as
-        POST/DELETE /docs. Cosine semantics only (the buffer stores
-        normalized rows, so dot == cos)."""
+        POST/DELETE /docs. The buffer stores L2-normalized rows (cosine
+        semantics); dot_score is accepted only for unit-norm embeddings
+        (checked at build and on every add)."""
         from qst_tpu.retrieval.updatable import UpdatableIndex
 
         probe = np.asarray(self.encoder.encode(["dimension probe"]))
