@@ -250,3 +250,22 @@ def test_updatable_rerank_and_id_reuse():
                    return_texts=True)
     assert got[0][0][0] == 0
     assert got[0][0][2] == "a replacement zeroth document"
+
+
+def test_retriever_sharded_mesh_journey(mesh8, tmp_path):
+    """Text-level retriever over the 8-device mesh: build (ICI-sharded
+    index), search, persist, reload sharded — results match unsharded."""
+    r = Retriever(MockEncoder(), mesh=mesh8).build(
+        DOCS, ids=[f"d{i}" for i in range(len(DOCS))])
+    assert r.index.mesh is not None
+    rows_sharded = r.search([DOCS[2]], k=3, return_texts=True)
+    r0 = Retriever(MockEncoder()).build(
+        DOCS, ids=[f"d{i}" for i in range(len(DOCS))])
+    rows_plain = r0.search([DOCS[2]], k=3, return_texts=True)
+    assert [x[0] for x in rows_sharded[0]] == [x[0] for x in rows_plain[0]]
+    r.save(str(tmp_path / "sidx"))
+    r2 = Retriever(MockEncoder(), mesh=mesh8).load(str(tmp_path / "sidx"))
+    assert r2.index.mesh is not None
+    rows2 = r2.search([DOCS[2]], k=3, return_texts=True)
+    assert [x[0] for x in rows2[0]] == [x[0] for x in rows_plain[0]]
+    assert rows2[0][0][2] == DOCS[2]
