@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--n_blobs", type=int, default=1024,
                     help="cluster blobs in the synthetic corpus; IVF "
                     "presumes corpus structure at roughly the cell scale")
+    ap.add_argument("--compact", action="store_true",
+                    help="IVFIndex.compact() after the build: re-pack HBM "
+                    "so near-full-chip searches don't trip over build "
+                    "fragmentation (the >HBM cells-only configuration)")
     args = ap.parse_args()
     assert args.n_docs % (1 << 20) == 0, "n_docs must be a multiple of 2^20"
 
@@ -113,6 +117,11 @@ def main():
           f"(C={args.n_clusters}, L={ivf.cell_budget}, cells "
           f"{cells_gb:.1f} GB, spilled={ivf.spilled})", flush=True)
     del corpus_for_build
+    if args.compact:
+        t0 = time.perf_counter()
+        ivf.compact()
+        print(f"compact(): {time.perf_counter() - t0:.1f}s "
+              "(cells re-packed through host RAM)", flush=True)
 
     # IVF wins in the SMALL-batch serving regime (per-query DMA is
     # n_probe*L*D bytes vs exact's one corpus stream for ALL queries) —

@@ -60,6 +60,10 @@ words = %r
 ks = %r
 lat = []
 lock = threading.Lock()
+# epoch-based window bounds so the parent can compute throughput over the
+# UNION of actual load windows (wall time in the parent would also count
+# serialized interpreter spawn — tens of seconds on a busy 1-core host)
+t_start = time.time()
 stop_at = time.perf_counter() + seconds
 def client(tid):
     r = random.Random(seed * 1000 + tid)
@@ -81,26 +85,33 @@ threads = [threading.Thread(target=client, args=(i,))
            for i in range(n_threads)]
 for t in threads: t.start()
 for t in threads: t.join()
-print(json.dumps(lat))
+print(json.dumps({"lat": lat, "t0": t_start, "t1": time.time()}))
 """ % (WORDS, list(KS))
 
 
 def run_load_procs(url, n_procs, threads_per_proc, seconds):
-    """Closed-loop load from n_procs OS processes × threads_per_proc."""
+    """Closed-loop load from n_procs OS processes × threads_per_proc.
+
+    Throughput is computed over the union of the workers' OWN load windows
+    (earliest start → latest finish), not the parent's wall clock — on a
+    loaded 1-core host, serialized interpreter spawn otherwise inflates the
+    denominator by tens of seconds."""
     import subprocess
     import sys
 
-    t0 = time.perf_counter()
     procs = [subprocess.Popen(
         [sys.executable, "-c", _CLIENT_WORKER, url,
          str(threads_per_proc), str(seconds), str(i)],
         stdout=subprocess.PIPE, text=True) for i in range(n_procs)]
-    lat = []
+    lat, t0s, t1s = [], [], []
     for p in procs:
         out, _ = p.communicate(timeout=seconds + 300)
-        lat.extend(json.loads(out))
-    wall = time.perf_counter() - t0
-    return np.sort(np.asarray(lat)) * 1e3, wall
+        rec = json.loads(out)
+        lat.extend(rec["lat"])
+        t0s.append(rec["t0"])
+        t1s.append(rec["t1"])
+    window = max(t1s) - min(t0s)
+    return np.sort(np.asarray(lat)) * 1e3, window
 
 
 def run_load(url, clients, seconds, rng):

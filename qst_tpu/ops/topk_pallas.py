@@ -96,8 +96,16 @@ def _bucket_max_kernel(n_ref, q_ref, c_ref, out_ref, *,
     # (measured ±2% vs query-outer at 1M×384: the kernel is matmul-bound,
     # not stream-bound — both orders are exposed for sweeps)
     ct = pl.program_id(0 if corpus_outer else 1)
+    q, c = q_ref[:], c_ref[:]
+    if q.dtype == jnp.int8:
+        # int8 quantized path: the corpus rides HBM/VMEM at half the bf16
+        # bytes; the dot runs in bf16 (every int8 value is exact in bf16's
+        # 8-bit mantissa) with f32 accumulation, so integer scores up to
+        # 2^24 are EXACT — ranking is deterministic w.r.t. the quantized
+        # representation (D·127² < 2^24 validated by the caller)
+        q, c = q.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
     s = jax.lax.dot_general(
-        q_ref[:], c_ref[:],
+        q, c,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (qb2, cb2)
@@ -147,9 +155,20 @@ def bucket_maxima(queries: jax.Array, corpus: jax.Array,
     c_pad = ((N + CB2_ - 1) // CB2_) * CB2_
     queries_p = _pad_to(queries, q_pad)
     corpus_p = _pad_to(corpus, c_pad)
-    compute_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
-    queries_p = queries_p.astype(compute_dtype)
-    corpus_p = corpus_p.astype(compute_dtype)
+    if corpus.dtype == jnp.int8:
+        if queries.dtype != jnp.int8:
+            raise ValueError(
+                "int8 corpus needs int8 queries (quantize them with the "
+                "same symmetric scheme — ExactIndex does this)")
+        if D * 127 * 127 >= 1 << 24:
+            raise ValueError(
+                f"D={D} too wide for the exact-in-f32 int8 path "
+                "(D·127² must stay below 2^24)")
+    else:
+        compute_dtype = (jnp.bfloat16 if corpus.dtype == jnp.bfloat16
+                         else jnp.float32)
+        queries_p = queries_p.astype(compute_dtype)
+        corpus_p = corpus_p.astype(compute_dtype)
     n_qb, n_ct = q_pad // QB2_, c_pad // CB2_
 
     nbk = CB2_ // BUCKET  # bucket-maxima columns per grid step
@@ -249,11 +268,16 @@ def _rescore_kernel(ids_ref, q_ref, *doc_refs_and_out, ks: int):
     (trivial extra FLOPs) and only the owning row merges into the output."""
     doc_refs, out_ref = doc_refs_and_out[:-1], doc_refs_and_out[-1]
     q = q_ref[:]  # (QR, D)
+    if q.dtype == jnp.int8:   # see _bucket_max_kernel: int8 exact in bf16
+        q = q.astype(jnp.bfloat16)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (QR, BUCKET), 0)
     for jj, d_ref in enumerate(doc_refs):
         row, slot = jj // ks, jj % ks
+        d = d_ref[:]
+        if d.dtype == jnp.int8:
+            d = d.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            q, d_ref[:],
+            q, d,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (QR, BUCKET); only row `row` is this alias's query
@@ -271,15 +295,21 @@ def rescore_buckets(queries: jax.Array, corpus_padded: jax.Array,
     if corpus_padded.shape[1] != D:
         raise ValueError(
             f"queries dim {D} != corpus dim {corpus_padded.shape[1]}")
-    compute_dtype = (jnp.bfloat16 if corpus_padded.dtype == jnp.bfloat16
-                     else jnp.float32)
+    if corpus_padded.dtype == jnp.int8:
+        if queries.dtype != jnp.int8:
+            raise ValueError("int8 corpus needs int8 queries")
+        compute_dtype = jnp.int8    # cast to bf16 happens in-kernel
+    else:
+        compute_dtype = (jnp.bfloat16 if corpus_padded.dtype == jnp.bfloat16
+                         else jnp.float32)
+        queries = queries.astype(compute_dtype)
+        corpus_padded = corpus_padded.astype(compute_dtype)
     ks = _rescore_slots(k, D, jnp.dtype(compute_dtype).itemsize)
     q_pad = ((Q + QR - 1) // QR) * QR
-    queries = _pad_to(queries, q_pad).astype(compute_dtype)
+    queries = _pad_to(queries, q_pad)
     if bucket_ids.shape[0] != q_pad:
         bucket_ids = jnp.pad(
             bucket_ids, ((0, q_pad - bucket_ids.shape[0]), (0, 0)))
-    corpus_padded = corpus_padded.astype(compute_dtype)
 
     # ids are prefetched into SMEM, which pads the minor dimension — pass
     # them (k, Q) so the padded footprint stays tiny (a (Q, k) layout pads

@@ -92,7 +92,23 @@ def exact_topk(
     pass a bf16 corpus for ~4× matmul throughput; ranking is then exact with
     respect to bf16-input scores.
     """
-    if corpus.dtype == jnp.bfloat16 and score in ("cos_sim", "dot_score"):
+    if corpus.dtype == jnp.int8:
+        # quantized path (ExactIndex dtype="int8"): queries arrive already
+        # quantized with the matching symmetric scheme; integer scores are
+        # computed exactly via bf16 inputs + f32 accumulation (every int8
+        # value is exact in bf16, sums stay < 2^24) — cos/euclid semantics
+        # live in the caller's pre-normalization, so only the raw dot runs
+        if queries.dtype != jnp.int8 or score != "dot_score":
+            raise ValueError(
+                "int8 corpus needs int8 queries and score='dot_score' "
+                "(ExactIndex pre-normalizes and quantizes for cos)")
+
+        def score_fn(a, b):
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    elif corpus.dtype == jnp.bfloat16 and score in ("cos_sim", "dot_score"):
         # dtype-preserving scoring: SCORE_FUNCTIONS upcast to f32, which
         # would silently take the MXU's 4×-slower f32 path
         if score == "cos_sim":
@@ -241,7 +257,12 @@ class ExactIndex:
                  dtype: str = "float32"):
         """dtype="bfloat16" stores the corpus MXU-native — ~4× matmul
         throughput; ranking is then exact w.r.t. bf16-input scores (the
-        benchmarked serving configuration).
+        benchmarked serving configuration). dtype="int8" stores a
+        unit-normalized, symmetrically-quantized corpus at HALF the bf16
+        bytes — 2× in-HBM capacity per chip; scoring is integer-exact (see
+        :meth:`_device_search_int8`) and ranking deterministic w.r.t. the
+        quantized vectors (recall vs f32 ground truth measured in
+        benchmarks/RESULTS.md); cos/dot only.
 
         HBM note: cos searches on a NON-normalized index cache a second,
         normalized corpus copy on first use (re-deriving it per call costs
@@ -255,10 +276,32 @@ class ExactIndex:
             raise ValueError(f"embeddings must be (N, D), got {emb.shape}")
         if normalize:
             emb = l2_normalize(emb)
-        if dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"dtype must be float32|bfloat16, got {dtype}")
-        emb = emb.astype(jnp.dtype(dtype))
-        self._normalized = normalize
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"dtype must be float32|bfloat16|int8, got {dtype}")
+        self._int8_scale = None
+        if dtype == "int8":
+            # Quantized storage: HALF the bf16 HBM per doc — 2× in-HBM
+            # corpus capacity per chip. The corpus is stored UNIT-NORMALIZED
+            # (cos ≡ dot; bounds every component to [-1, 1]) under one
+            # global symmetric scale; queries are quantized per search call
+            # with their own scale, so integer scores are exact and ranking
+            # is deterministic w.r.t. the int8 representation. Returned
+            # scores are descaled back to the cosine domain. euclid_score
+            # is unsupported (the quantizer normalizes away magnitudes).
+            if emb.shape[1] * 127 * 127 >= 1 << 24:
+                raise ValueError(
+                    f"dim {emb.shape[1]} too wide for int8 storage "
+                    "(D·127² must stay below 2^24 for exact f32 sums)")
+            emb = l2_normalize(emb)
+            self._normalized = True
+            scale = 127.0 / jnp.maximum(jnp.max(jnp.abs(emb)), 1e-12)
+            self._int8_scale = float(scale)   # one scalar host sync, build-time
+            emb = jnp.clip(jnp.round(emb * self._int8_scale),
+                           -127, 127).astype(jnp.int8)
+        else:
+            emb = emb.astype(jnp.dtype(dtype))
+            self._normalized = normalize
         self.n_docs = emb.shape[0]
         self.dim = emb.shape[1]
         self.ids = list(ids) if ids is not None else list(range(self.n_docs))
@@ -322,6 +365,8 @@ class ExactIndex:
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
         k = min(k, self.n_docs)
+        if self.embeddings.dtype == jnp.int8:
+            return self._device_search_int8(queries, k, score, tile, backend)
         use_pallas = (backend == "pallas"
                       or (backend == "auto"
                           and self._pallas_eligible(k, score)))
@@ -365,6 +410,54 @@ class ExactIndex:
             n_real = jnp.full((1,), self.n_docs, jnp.int32)
             return self._search_fns[key](q, self.embeddings, n_real)
         return exact_topk(q, self.embeddings, k, score, tile)
+
+    def _device_search_int8(self, queries, k: int, score: str, tile: int,
+                            backend: str) -> Tuple[jax.Array, jax.Array]:
+        """Search an int8-quantized index: normalize (cos) → quantize the
+        queries under a per-call symmetric scale → integer-exact scoring
+        through the same fused-Pallas / XLA-scan / sharded backends → one
+        descale back to the cosine domain. The whole chain is ONE jitted
+        dispatch per (k, score, backend) configuration."""
+        if score not in ("cos_sim", "dot_score"):
+            raise ValueError(
+                "int8 index supports cos_sim/dot_score only (magnitudes "
+                "are normalized away at quantization)")
+        use_pallas = (backend == "pallas"
+                      or (backend == "auto"
+                          and self._pallas_eligible(k, score)))
+        interpret = jax.devices()[0].platform == "cpu"
+        key = ("int8", k, score, use_pallas, interpret)
+        if key not in self._search_fns:
+            cscale = self._int8_scale
+            normalize_q = score == "cos_sim"
+            if self.mesh is not None:
+                inner = _sharded_search_fn(
+                    self.mesh, k, "dot_score", self.shard_rows,
+                    pallas=use_pallas, interpret=interpret)
+            elif use_pallas:
+                from qst_tpu.ops.topk_pallas import pallas_topk_v2
+
+                def inner(qi, corpus, n_real):
+                    return pallas_topk_v2(qi, corpus, k,
+                                          interpret=interpret)
+            else:
+                def inner(qi, corpus, n_real):
+                    return exact_topk(qi, corpus, k, "dot_score", tile)
+
+            def fn(q, corpus, n_real):
+                qf = q.astype(jnp.float32)
+                if normalize_q:
+                    qf = l2_normalize(qf)
+                qscale = 127.0 / jnp.maximum(jnp.max(jnp.abs(qf)), 1e-12)
+                qi = jnp.clip(jnp.round(qf * qscale),
+                              -127, 127).astype(jnp.int8)
+                s, i = inner(qi, corpus, n_real)
+                return s / (qscale * cscale), i
+
+            self._search_fns[key] = jax.jit(fn)
+        n_real = jnp.full((1,), self.n_docs, jnp.int32)
+        return self._search_fns[key](jnp.asarray(queries), self.embeddings,
+                                     n_real)
 
     def search_stream(self, query_batches, k: int = 10,
                       score: str = "cos_sim", tile: int = 131072,

@@ -454,6 +454,34 @@ class IVFIndex:
         self.n_docs = n
         self.cell_budget = L
 
+    def compact(self) -> None:
+        """Re-pack the index's device memory after a build that churned HBM.
+
+        The >HBM build path (host-resident corpus, cells-only device
+        storage) allocates and frees gigabytes of assignment/scatter
+        transients around the near-HBM-sized cell tensor; on a nearly-full
+        chip the surviving free space can be fragmented enough that the
+        first search's (Q, P·L) score transient fails to allocate even
+        though total free HBM suffices (STATUS known-limitation #7,
+        observed at 8.4M docs / 9.7 GB of cells on a 16 GB v5e). This
+        round-trips the two large tensors through host RAM — freeing their
+        device buffers first so the allocator can coalesce the whole arena
+        — then re-puts them into the defragmented space. Costs one
+        cells-sized host↔device round trip; call it once between build and
+        first search when HBM is close to full. Results are unchanged
+        (verified by tests): only buffer placement moves."""
+        sharding = None
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P((DATA_AXIS, MODEL_AXIS)))
+        repacked = []
+        for arr in (self.cells, self.cell_ids):
+            host = np.asarray(arr)          # ml_dtypes carries bf16 exactly
+            arr.delete()
+            repacked.append(host)
+        self.cells, self.cell_ids = (
+            jax.device_put(h, sharding) if sharding is not None
+            else jnp.asarray(h) for h in repacked)
+
     def _pallas_eligible(self) -> bool:
         return (self.cell_budget % 128 == 0
                 and jax.devices()[0].platform != "cpu")

@@ -180,3 +180,25 @@ def test_ivf_pallas_backend_matches_xla(clustered_corpus):
 def test_ivf_n_clusters_exceeding_train_sample_raises(clustered_corpus):
     with pytest.raises(ValueError, match="train_sample"):
         IVFIndex(clustered_corpus, n_clusters=600, train_sample=512)
+
+
+def test_ivf_compact_preserves_results(clustered_corpus, mesh8):
+    """compact() (the post->HBM-build defragmentation pass) must only move
+    buffers: searches before and after return identical results, dtypes
+    and shardings survive the host round trip."""
+    rng = np.random.default_rng(9)
+    queries = rng.standard_normal((7, 32)).astype(np.float32)
+    for kwargs in ({"dtype": "bfloat16"}, {"mesh": None},
+                   {"mesh": "MESH8"}):
+        if kwargs.get("mesh") == "MESH8":
+            kwargs["mesh"] = mesh8
+        ivf = IVFIndex(clustered_corpus, n_clusters=16, seed=0, **kwargs)
+        before = ivf.search(queries, k=7, n_probe=5)
+        cells_dtype = ivf.cells.dtype
+        sharding = ivf.cells.sharding
+        ivf.compact()
+        assert ivf.cells.dtype == cells_dtype
+        assert ivf.cells.sharding == sharding
+        after = ivf.search(queries, k=7, n_probe=5)
+        np.testing.assert_array_equal(after[0], before[0])
+        assert after[1] == before[1]
