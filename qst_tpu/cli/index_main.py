@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--dataset_root",
                    help="chunked quadruplet dataset (uses all captions)")
     b.add_argument("--index_dir", required=True)
+    b.add_argument("--index_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="index storage dtype: bfloat16 scores at MXU rate; "
+                   "int8 halves HBM again (2x corpus per chip, "
+                   "quantized-exact ranking)")
     b.add_argument("--encoder_preset", default="minilm-l6")
     b.add_argument("--vocab_path", default=None)
     b.add_argument("--model_path",
@@ -53,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                        "(POST /search, POST /encode, GET /healthz; "
                        "dynamic micro-batching across concurrent requests)")
     s.add_argument("--index_dir", required=True)
+    s.add_argument("--index_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="index storage dtype: bfloat16 scores at MXU rate; "
+                   "int8 halves HBM again (2x corpus per chip, "
+                   "quantized-exact ranking)")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--max_batch", type=int, default=256)
@@ -81,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("query", help="search a persisted index")
     q.add_argument("--index_dir", required=True)
+    q.add_argument("--index_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="index storage dtype: bfloat16 scores at MXU rate; "
+                   "int8 halves HBM again (2x corpus per chip, "
+                   "quantized-exact ranking)")
     q.add_argument("--queries", nargs="+", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--encoder_preset", default="minilm-l6")
@@ -128,7 +143,8 @@ def main(argv=None) -> int:
             docs = ChunkStore(args.dataset_root).all_positive_captions()
         if not docs:
             raise SystemExit("no documents to index")
-        retriever = Retriever(_encoder(args))
+        retriever = Retriever(_encoder(args),
+                              index_dtype=args.index_dtype)
         retriever.build(docs)
         retriever.save(args.index_dir)
         dump_args(args, args.index_dir)
@@ -138,7 +154,9 @@ def main(argv=None) -> int:
     if args.command == "serve":
         from qst_tpu.serve import RetrievalServer
 
-        retriever = Retriever(_encoder(args)).load(args.index_dir)
+        retriever = Retriever(
+            _encoder(args),
+            index_dtype=args.index_dtype).load(args.index_dir)
         if args.updatable:
             retriever.to_updatable(capacity=args.capacity)
             logger.info("updatable serving: capacity %d (POST/DELETE /docs "
@@ -161,7 +179,8 @@ def main(argv=None) -> int:
             server.stop()
         return 0
 
-    retriever = Retriever(_encoder(args)).load(args.index_dir)
+    retriever = Retriever(_encoder(args),
+                          index_dtype=args.index_dtype).load(args.index_dir)
     hits = retriever.search(list(args.queries), k=args.k, return_texts=True)
     for query, row in zip(args.queries, hits):
         print(json.dumps({

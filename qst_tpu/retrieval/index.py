@@ -254,7 +254,7 @@ class ExactIndex:
 
     def __init__(self, embeddings, ids: Optional[list] = None,
                  mesh: Optional[Mesh] = None, normalize: bool = False,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", int8_scale: Optional[float] = None):
         """dtype="bfloat16" stores the corpus MXU-native — ~4× matmul
         throughput; ranking is then exact w.r.t. bf16-input scores (the
         benchmarked serving configuration). dtype="int8" stores a
@@ -270,17 +270,44 @@ class ExactIndex:
         HBM while both live. Build with ``normalize=True`` when only cos
         searches are needed (scores are identical; dot/euclid then see the
         normalized vectors), or serve dot_score over pre-normalized
-        embeddings."""
-        emb = jnp.asarray(embeddings, dtype=jnp.float32)
+        embeddings.
+
+        ``int8_scale`` (with an ALREADY-int8 ``embeddings`` array and
+        dtype="int8") adopts a pre-quantized corpus verbatim — the
+        persistence reload path, and the only way to build an index whose
+        f32 upcast would not fit HBM (e.g. 20M × 384: 30 GB f32 transient
+        vs 7.7 GB int8). The caller vouches that the array was produced by
+        this class's scheme (unit-normalized rows × scale, rounded)."""
+        pre_quantized = (dtype == "int8" and int8_scale is not None
+                         and getattr(embeddings, "dtype", None) is not None
+                         and jnp.dtype(embeddings.dtype) == jnp.int8)
+        if pre_quantized:
+            emb = jnp.asarray(embeddings)
+        else:
+            if int8_scale is not None:
+                raise ValueError(
+                    "int8_scale is only for adopting an already-quantized "
+                    "int8 array with dtype='int8'")
+            emb = jnp.asarray(embeddings, dtype=jnp.float32)
         if emb.ndim != 2 or emb.shape[0] == 0:
             raise ValueError(f"embeddings must be (N, D), got {emb.shape}")
+        if normalize and pre_quantized:
+            raise ValueError("pre-quantized int8 rows are already "
+                             "unit-normalized; drop normalize=True")
         if normalize:
             emb = l2_normalize(emb)
         if dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
                 f"dtype must be float32|bfloat16|int8, got {dtype}")
         self._int8_scale = None
-        if dtype == "int8":
+        if pre_quantized:
+            if emb.shape[1] * 127 * 127 >= 1 << 24:
+                raise ValueError(
+                    f"dim {emb.shape[1]} too wide for int8 storage "
+                    "(D·127² must stay below 2^24 for exact f32 sums)")
+            self._int8_scale = float(int8_scale)
+            self._normalized = True
+        elif dtype == "int8":
             # Quantized storage: HALF the bf16 HBM per doc — 2× in-HBM
             # corpus capacity per chip. The corpus is stored UNIT-NORMALIZED
             # (cos ≡ dot; bounds every component to [-1, 1]) under one

@@ -35,13 +35,25 @@ def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
                    **(metadata or {})}, f)
 
 
-def load_index(path: str, mesh=None) -> Tuple[ExactIndex, dict]:
+def load_index(path: str, mesh=None,
+               dtype: Optional[str] = None) -> Tuple[ExactIndex, dict]:
+    """``dtype`` overrides the storage dtype at load time (e.g. serve an
+    f32-saved index as bfloat16 or int8). An index SAVED as int8 carries
+    its quantization scale in the metadata and reloads bit-exactly."""
     emb = np.load(os.path.join(path, INDEX_FILE))
     with open(os.path.join(path, IDS_FILE)) as f:
         ids = json.load(f)
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
-    return ExactIndex(emb, ids=ids, mesh=mesh), meta
+    if meta.get("dtype") == "int8" and emb.dtype == np.int8:
+        if dtype not in (None, "int8"):
+            raise ValueError(
+                f"index at {path} was saved quantized (int8); it cannot "
+                f"be reloaded as {dtype}")
+        return ExactIndex(emb, ids=ids, mesh=mesh, dtype="int8",
+                          int8_scale=meta["int8_scale"]), meta
+    return ExactIndex(emb, ids=ids, mesh=mesh,
+                      dtype=dtype or meta.get("dtype", "float32")), meta
 
 
 def encode_keep_device(encode: Any, texts: list):
@@ -92,14 +104,19 @@ class Retriever:
     """
 
     def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim",
-                 reranker: Any = None):
+                 reranker: Any = None, index_dtype: str = "float32"):
         """reranker: optional cross-encoder with
         ``predict(pairs) -> scores`` (qst_tpu.models.CrossEncoder) for
-        two-stage retrieval: dense top-N candidates → pair re-scoring."""
+        two-stage retrieval: dense top-N candidates → pair re-scoring.
+
+        index_dtype: storage dtype for built/loaded indexes — "bfloat16"
+        for MXU-rate scoring, "int8" for half the HBM again (2× corpus
+        per chip, quantized-exact ranking; see ExactIndex)."""
         self.encoder = encoder
         self.mesh = mesh
         self.score = score
         self.reranker = reranker
+        self.index_dtype = index_dtype
         self._index: Optional[Any] = None
         self._doc_texts: List[str] = []
         self._texts_by_id: dict = {}
@@ -243,7 +260,8 @@ class Retriever:
         # batch on device; ExactIndex consumes jax arrays directly)
         emb = _encode_device(self.encoder, list(docs))
         self.index = ExactIndex(emb, ids=list(ids) if ids is not None
-                                else list(range(len(docs))), mesh=self.mesh)
+                                else list(range(len(docs))), mesh=self.mesh,
+                                dtype=self.index_dtype)
         self._doc_texts = list(docs)
         return self
 
@@ -260,13 +278,24 @@ class Retriever:
                 with open(os.path.join(path, "docs.json"), "w") as f:
                     json.dump(texts, f)
             return
-        save_index(path, np.asarray(self.index.embeddings)[: self.index.n_docs],
-                   self.index.ids, {"score": self.score})
+        emb = np.asarray(self.index.embeddings)[: self.index.n_docs]
+        meta = {"score": self.score}
+        if emb.dtype == np.int8:
+            # persist the quantized rows + scale: reloads bit-exactly
+            meta.update(dtype="int8", int8_scale=self.index._int8_scale)
+        elif emb.dtype != np.float32:
+            # .npy has no portable bf16 — store f32, reload re-casts
+            meta["dtype"] = str(emb.dtype)
+            emb = emb.astype(np.float32)
+        save_index(path, emb, self.index.ids, meta)
         with open(os.path.join(path, "docs.json"), "w") as f:
             json.dump(self._doc_texts, f)
 
     def load(self, path: str) -> "Retriever":
-        self.index, meta = load_index(path, mesh=self.mesh)
+        self.index, meta = load_index(
+            path, mesh=self.mesh,
+            dtype=None if self.index_dtype == "float32"
+            else self.index_dtype)
         docs_path = os.path.join(path, "docs.json")
         if os.path.isfile(docs_path):
             with open(docs_path) as f:

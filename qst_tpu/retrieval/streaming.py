@@ -45,14 +45,18 @@ from qst_tpu.retrieval.index import BUCKET, _local_topk
                    static_argnames=("k", "use_pallas", "normalize",
                                     "interpret"),
                    donate_argnames=("carry_s", "carry_i"))
-def _tile_step(queries, tile, base, n_valid, carry_s, carry_i, *,
+def _tile_step(queries, tile, base, n_valid, carry_s, carry_i, inv_scale, *,
                k: int, use_pallas: bool, normalize: bool,
                interpret: bool) -> Tuple[jax.Array, jax.Array]:
     """Search one corpus tile and merge into the (Q, k) candidate carry.
 
     ``base``/``n_valid`` are dynamic (same compiled step for every tile,
     including the padded last one). The carry buffers are donated — the
-    running candidates never accumulate device memory across tiles."""
+    running candidates never accumulate device memory across tiles.
+    ``inv_scale`` multiplies the tile's scores before the merge (1.0 for
+    float tiles; 1/(query scale × tile scale) for int8 tiles, whose PER-TILE
+    quantization scales make raw integer scores incomparable across
+    tiles — descaling first puts the carry in the cosine domain)."""
     if normalize:
         # per-tile device normalization: a host-side pass over a >HBM corpus
         # would cost a full extra read of the whole matrix
@@ -63,14 +67,18 @@ def _tile_step(queries, tile, base, n_valid, carry_s, carry_i, *,
         s, i = pallas_topk_local(queries, tile, k, n_valid,
                                  interpret=interpret)
     else:
+        q, t_ = queries, tile
+        if q.dtype == jnp.int8:    # int8 exact in bf16 (see topk_pallas)
+            q, t_ = q.astype(jnp.bfloat16), t_.astype(jnp.bfloat16)
         sc = jax.lax.dot_general(
-            queries, tile, (((1,), (1,)), ((), ())),
+            q, t_, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
         sc = jnp.where(col < n_valid, sc, -jnp.inf)
         # a tile holds only tile_rows docs, so min(k, tile_rows) per-tile
         # candidates still cover the global top-k exactly
         s, i = _local_topk(sc, min(k, tile.shape[0]))
+    s = s * inv_scale      # exact identity (×1.0) for float tiles
     i = i + base
     cs = jnp.concatenate([carry_s, s], axis=1)
     ci = jnp.concatenate([carry_i, i], axis=1)
@@ -92,7 +100,7 @@ def _sharded_tile_fn(mesh: Mesh, k: int, shard_rows: int, *,
     of the same exact deferred-merge math."""
     axes = (DATA_AXIS, MODEL_AXIS)
 
-    def step(q, tile_shard, base, n_valid, carry_s, carry_i):
+    def step(q, tile_shard, base, n_valid, carry_s, carry_i, inv_scale):
         from qst_tpu.core.meshes import flat_shard_index
 
         local_off = flat_shard_index(axes) * shard_rows
@@ -106,12 +114,16 @@ def _sharded_tile_fn(mesh: Mesh, k: int, shard_rows: int, *,
             s1, i1 = pallas_topk_local(q, tile_shard, k, n_local,
                                        interpret=interpret)
         else:
+            qd, td = q, tile_shard
+            if qd.dtype == jnp.int8:   # int8 exact in bf16 (topk_pallas)
+                qd, td = qd.astype(jnp.bfloat16), td.astype(jnp.bfloat16)
             sc = jax.lax.dot_general(
-                q, tile_shard, (((1,), (1,)), ((), ())),
+                qd, td, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             col = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
             sc = jnp.where(col < n_local, sc, -jnp.inf)
             s1, i1 = _local_topk(sc, min(k, shard_rows))
+        s1 = s1 * inv_scale    # see _tile_step: per-tile int8 descale
         i1 = i1 + local_off + base
         all_s = jax.lax.all_gather(s1, axes, axis=1, tiled=True)
         all_i = jax.lax.all_gather(i1, axes, axis=1, tiled=True)
@@ -125,7 +137,7 @@ def _sharded_tile_fn(mesh: Mesh, k: int, shard_rows: int, *,
         jax.shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(), P(axes), P(), P(), P(), P()),
+            in_specs=(P(), P(axes), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             # outputs ARE replicated (identical all_gather + top_k on
             # every shard) but the varying-axes checker can't prove it
@@ -171,10 +183,28 @@ class StreamingExactIndex:
             raise ValueError(
                 f"tile_rows must be a positive multiple of {row_quantum} "
                 f"(BUCKET × mesh devices), got {tile_rows}")
-        if transfer_dtype not in ("float32", "bfloat16"):
+        if transfer_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
-                f"transfer_dtype must be float32|bfloat16, got"
+                f"transfer_dtype must be float32|bfloat16|int8, got"
                 f" {transfer_dtype}")
+        if transfer_dtype == "int8":
+            # int8 tiles HALVE the host-link bytes — the measured bottleneck
+            # of the >HBM envelope (RESULTS.md: the stream runs at link
+            # speed) — so streaming throughput ~doubles at the same link.
+            # Tiles are unit-normalized + quantized host-side at a fixed
+            # scale of 127 (ExactIndex-int8 semantics: cos ≡ dot over the
+            # normalized corpus; ranking is integer-exact); an
+            # ALREADY-int8 host array (e.g. a quantized memmap built with
+            # :meth:`quantize_host`) streams verbatim, also halving host
+            # RAM/disk.
+            if normalize:
+                raise ValueError(
+                    "transfer_dtype='int8' always normalizes (quantization "
+                    "needs unit rows); drop normalize=True")
+            if embeddings.shape[1] * 127 * 127 >= 1 << 24:
+                raise ValueError(
+                    f"dim {embeddings.shape[1]} too wide for int8 "
+                    "(D·127² must stay below 2^24 for exact f32 sums)")
         self.embeddings = embeddings      # host-resident, never copied whole
         self.n_docs, self.dim = embeddings.shape
         self.tile_rows = tile_rows
@@ -194,17 +224,50 @@ class StreamingExactIndex:
         corpus is then bounded by disk, not RAM."""
         return cls(np.load(path, mmap_mode="r"), **kw)
 
-    def _host_tile(self, t: int) -> np.ndarray:
-        """Materialize tile t host-side: slice, cast, pad the last tile."""
+    INT8_SCALE = 127.0   # pre-quantized host arrays: unit-norm rows bound
+    # |component| <= 1, so quantize_host uses the fixed worst-case scale.
+    # Tiles quantized ON THE FLY from a float host corpus instead use a
+    # PER-TILE scale 127/max|tile| — ~4× finer at 384-dim (max component
+    # of a unit vector is ~0.25), worth ~7 recall@10 points (measured);
+    # the merge descales per tile so cross-tile scores stay comparable.
+
+    @staticmethod
+    def quantize_host(rows: np.ndarray) -> np.ndarray:
+        """Unit-normalize + quantize rows to the fixed-scale int8 scheme —
+        use it to materialize a half-size host/disk corpus once, then
+        construct the index over the int8 array (streamed verbatim). Note
+        the fixed scale is coarser than the on-the-fly per-tile scale:
+        prefer streaming from the float corpus when host RAM allows."""
+        rows = np.asarray(rows, np.float32)
+        rows = rows / np.maximum(
+            np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+        return np.clip(np.round(rows * StreamingExactIndex.INT8_SCALE),
+                       -127, 127).astype(np.int8)
+
+    def _host_tile(self, t: int) -> Tuple[np.ndarray, float]:
+        """Materialize tile t host-side: slice, cast (or normalize +
+        quantize for int8), pad the last tile. → (tile, scale) where scale
+        is the tile's quantization scale (1.0 for float tiles)."""
         lo = t * self.tile_rows
         hi = min(lo + self.tile_rows, self.n_docs)
         chunk = np.asarray(self.embeddings[lo:hi])
         np_dtype = jnp.dtype(self.transfer_dtype)
-        if chunk.dtype != np_dtype:
+        scale = 1.0
+        if np_dtype == jnp.int8:
+            if chunk.dtype == np.int8:      # pre-quantized: fixed scale
+                scale = self.INT8_SCALE
+            else:
+                chunk = np.asarray(chunk, np.float32)
+                chunk = chunk / np.maximum(
+                    np.linalg.norm(chunk, axis=1, keepdims=True), 1e-12)
+                scale = 127.0 / max(float(np.abs(chunk).max()), 1e-12)
+                chunk = np.clip(np.round(chunk * scale),
+                                -127, 127).astype(np.int8)
+        elif chunk.dtype != np_dtype:
             chunk = chunk.astype(np_dtype)
         if hi - lo < self.tile_rows:
             chunk = np.pad(chunk, ((0, self.tile_rows - (hi - lo)), (0, 0)))
-        return chunk
+        return chunk, scale
 
     def search(self, queries, k: int = 10, score: str = "cos_sim",
                backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
@@ -227,12 +290,22 @@ class StreamingExactIndex:
         qq = jnp.asarray(np.asarray(queries), jnp.float32)
         if score == "cos_sim":
             qq = l2_normalize(qq)
-        qq = qq.astype(self.transfer_dtype)
+        qscale = None
+        if self.transfer_dtype == jnp.int8:
+            # ExactIndex-int8 scheme: per-call symmetric query scale;
+            # integer scores descale back to the cosine domain at the end
+            qscale = 127.0 / jnp.maximum(jnp.max(jnp.abs(qq)), 1e-12)
+            qq = jnp.clip(jnp.round(qq * qscale), -127, 127
+                          ).astype(jnp.int8)
+        else:
+            qq = qq.astype(self.transfer_dtype)
         Q = qq.shape[0]
         # tiles normalize on device when the score needs it OR the index
         # was constructed with normalize=True (ExactIndex(normalize=True)
-        # semantics: dot/euclid then see the normalized vectors too)
-        normalize = self._normalize_on_device or score == "cos_sim"
+        # semantics: dot/euclid then see the normalized vectors too) —
+        # int8 tiles arrive normalized+quantized from the host instead
+        normalize = (self.transfer_dtype != jnp.int8
+                     and (self._normalize_on_device or score == "cos_sim"))
 
         n_tiles = -(-self.n_docs // self.tile_rows)
         carry_s = jnp.full((Q, k), -jnp.inf, jnp.float32)
@@ -252,16 +325,24 @@ class StreamingExactIndex:
         # double buffer: tile t+1's host slice + device transfer are issued
         # before tile t's step is consumed, overlapping DMA with compute
         # (with a mesh, each device receives only its tile shard)
-        buf = jax.device_put(self._host_tile(0), self._tile_sharding)
+        tile0, scale0 = self._host_tile(0)
+        buf = jax.device_put(tile0, self._tile_sharding), scale0
         for t in range(n_tiles):
-            nxt = jax.device_put(self._host_tile(t + 1),
-                                 self._tile_sharding) \
-                if t + 1 < n_tiles else None
+            if t + 1 < n_tiles:
+                tile_n, scale_n = self._host_tile(t + 1)
+                nxt = jax.device_put(tile_n, self._tile_sharding), scale_n
+            else:
+                nxt = None
             base = jnp.int32(t * self.tile_rows)
             n_valid = jnp.int32(
                 min(self.n_docs - t * self.tile_rows, self.tile_rows))
-            carry_s, carry_i = step(qq, buf, base, n_valid,
-                                    carry_s, carry_i)
+            # int8: descale this tile's integer scores into the cosine
+            # domain BEFORE the carry merge (per-tile scales otherwise
+            # make scores incomparable across tiles); float tiles pass 1.0
+            inv = (jnp.float32(1.0) if qscale is None
+                   else 1.0 / (qscale * buf[1]))
+            carry_s, carry_i = step(qq, buf[0], base, n_valid,
+                                    carry_s, carry_i, inv)
             buf = nxt
         from qst_tpu.retrieval.index import fetch_pair
         return fetch_pair(carry_s, carry_i)

@@ -222,3 +222,32 @@ def test_index_cli_validation(tmp_path):
         index_main.main(["build", "--texts", empty,
                          "--index_dir", str(tmp_path / "y"),
                          "--encoder_preset", "tiny"])
+
+
+def test_index_cli_int8_build_and_query(tmp_path, capsys):
+    """--index_dtype int8 builds a quantized artifact that queries and
+    reloads without re-quantization (int8 on disk + scale in metadata)."""
+    from qst_tpu.cli import index_main
+
+    texts = str(tmp_path / "docs.txt")
+    with open(texts, "w") as f:
+        f.write("a cat sits on the mat\n"
+                "the dog runs in the park\n"
+                "pasta with tomato sauce\n")
+    idx_dir = str(tmp_path / "idx8")
+    rc = index_main.main(["build", "--texts", texts, "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--index_dtype", "int8"])
+    assert rc == 0
+    emb = np.load(os.path.join(idx_dir, "embeddings.npy"))
+    assert emb.dtype == np.int8
+    with open(os.path.join(idx_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["dtype"] == "int8" and meta["int8_scale"] > 0
+
+    rc = index_main.main(["query", "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--queries", "a cat on a rug", "--k", "2"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["hits"]) == 2

@@ -269,3 +269,48 @@ def test_retriever_sharded_mesh_journey(mesh8, tmp_path):
     rows2 = r2.search([DOCS[2]], k=3, return_texts=True)
     assert [x[0] for x in rows2[0]] == [x[0] for x in rows_plain[0]]
     assert rows2[0][0][2] == DOCS[2]
+
+
+def test_int8_save_load_bit_exact(tmp_path):
+    """An int8-built retriever persists the quantized rows + scale and
+    reloads BIT-exactly (same embeddings buffer, same scale, same hits)."""
+    r = Retriever(MockEncoder(), index_dtype="int8").build(
+        DOCS, ids=list("abcde"))
+    assert str(r.index.embeddings.dtype) == "int8"
+    before = r.search(["a cat sits"], k=3)
+    r.save(str(tmp_path / "idx8"))
+
+    r2 = Retriever(MockEncoder()).load(str(tmp_path / "idx8"))
+    assert str(r2.index.embeddings.dtype) == "int8"
+    assert r2.index._int8_scale == r.index._int8_scale
+    np.testing.assert_array_equal(np.asarray(r2.index.embeddings),
+                                  np.asarray(r.index.embeddings))
+    after = r2.search(["a cat sits"], k=3)
+    assert [h[0] for h in before[0]] == [h[0] for h in after[0]]
+    np.testing.assert_allclose([h[1] for h in before[0]],
+                               [h[1] for h in after[0]], rtol=1e-6)
+    # a quantized artifact cannot silently reload as another dtype
+    with pytest.raises(ValueError, match="saved quantized"):
+        Retriever(MockEncoder(), index_dtype="bfloat16").load(
+            str(tmp_path / "idx8"))
+
+
+def test_bf16_save_load_roundtrip(tmp_path):
+    """bf16 indexes persist as f32 (.npy has no portable bf16) with the
+    dtype recorded; reload re-casts to bf16."""
+    r = Retriever(MockEncoder(), index_dtype="bfloat16").build(DOCS)
+    r.save(str(tmp_path / "idx16"))
+    emb = np.load(str(tmp_path / "idx16") + "/embeddings.npy")
+    assert emb.dtype == np.float32
+    r2 = Retriever(MockEncoder()).load(str(tmp_path / "idx16"))
+    assert str(r2.index.embeddings.dtype) == "bfloat16"
+
+
+def test_load_dtype_override(tmp_path):
+    """index_dtype on the LOADING retriever re-quantizes an f32 artifact."""
+    Retriever(MockEncoder()).build(DOCS).save(str(tmp_path / "idxf"))
+    r = Retriever(MockEncoder(), index_dtype="int8").load(
+        str(tmp_path / "idxf"))
+    assert str(r.index.embeddings.dtype) == "int8"
+    hits = r.search(["a small cat lying on the rug"], k=2)
+    assert hits[0][0][0] in (0, 1)

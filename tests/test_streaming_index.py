@@ -173,3 +173,98 @@ def test_streaming_normalize_flag_applies_to_dot(rng):
     # which scales each row uniformly so the ORDER matches the golden cos
     # ranking of that query)
     np.testing.assert_array_equal(i_dot, np.asarray(gi))
+
+
+def _int8_stream_golden(queries, corpus, k, score, tile_rows):
+    """Numpy twin of the int8 streaming scheme: PER-TILE corpus scales
+    (127/max|tile|), per-call query scale, per-tile descale before merge."""
+    qf = (queries / np.linalg.norm(queries, axis=1, keepdims=True)
+          if score == "cos_sim" else queries.astype(np.float64))
+    qscale = 127.0 / np.abs(qf).max()
+    qi = np.clip(np.round(qf * qscale), -127, 127).astype(np.int64)
+    cols = []
+    for lo in range(0, corpus.shape[0], tile_rows):
+        tile = corpus[lo:lo + tile_rows].astype(np.float32)
+        tile = tile / np.maximum(
+            np.linalg.norm(tile, axis=1, keepdims=True), 1e-12)
+        scale = 127.0 / max(float(np.abs(tile).max()), 1e-12)
+        cq = np.clip(np.round(tile * scale), -127, 127).astype(np.int64)
+        cols.append((qi @ cq.T).astype(np.float32) / np.float32(
+            qscale * scale))
+    return np.concatenate(cols, axis=1)
+
+
+@pytest.mark.parametrize("n_docs,tile_rows", [(5000, 1024), (3000, 4096),
+                                              (700, 128)])
+@pytest.mark.parametrize("score", ["cos_sim", "dot_score"])
+def test_streaming_int8_matches_integer_golden(rng, n_docs, tile_rows,
+                                               score):
+    """int8 tiles (half the host-link bytes) must rank integer-exactly:
+    top-k scores and per-id scores match the numpy int64 golden across
+    partial last tiles and single-tile corpora."""
+    D, Q, k = 32, 9, 7
+    corpus = rng.standard_normal((n_docs, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=tile_rows,
+                              transfer_dtype="int8")
+    s, i = idx.search(queries, k=k, score=score)
+    S = _int8_stream_golden(queries, corpus, k, score, tile_rows)
+    np.testing.assert_allclose(s, np.sort(S, axis=1)[:, ::-1][:, :k],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(s, np.take_along_axis(S, i, axis=1),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_int8_prequantized_host_matches_golden(rng):
+    """An already-int8 host corpus (quantize_host output — half the host
+    RAM/disk too) streams verbatim at the FIXED scale: results match the
+    fixed-scale numpy golden (coarser than the on-the-fly per-tile path)."""
+    corpus = rng.standard_normal((3000, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    b = StreamingExactIndex(StreamingExactIndex.quantize_host(corpus),
+                            tile_rows=1024, transfer_dtype="int8")
+    sb, ib = b.search(queries, k=7)
+    qf = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qscale = 127.0 / np.abs(qf).max()
+    qi = np.clip(np.round(qf * qscale), -127, 127).astype(np.int64)
+    cq = StreamingExactIndex.quantize_host(corpus).astype(np.int64)
+    S = (qi @ cq.T) / (qscale * StreamingExactIndex.INT8_SCALE)
+    np.testing.assert_allclose(sb, np.take_along_axis(S, ib, axis=1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(sb, np.sort(S, axis=1)[:, ::-1][:, :7],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_int8_pallas_interpret_matches_xla(rng):
+    corpus = rng.standard_normal((2000, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    idx = StreamingExactIndex(corpus, tile_rows=512, transfer_dtype="int8")
+    s_x, i_x = idx.search(queries, k=6, backend="xla")
+    s_p, i_p = idx.search(queries, k=6, backend="pallas")
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(i_p, i_x)
+
+
+def test_streaming_int8_sharded_matches_unsharded(rng, mesh8):
+    corpus = rng.standard_normal((4096, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    single = StreamingExactIndex(corpus, tile_rows=2048,
+                                 transfer_dtype="int8")
+    sharded = StreamingExactIndex(corpus, tile_rows=2048,
+                                  transfer_dtype="int8", mesh=mesh8)
+    s1, i1 = single.search(queries, k=7)
+    s8, i8 = sharded.search(queries, k=7)
+    np.testing.assert_allclose(s8, s1, rtol=1e-6, atol=1e-8)
+    S = _int8_stream_golden(queries, corpus, 7, "cos_sim", 2048)
+    np.testing.assert_allclose(s8, np.take_along_axis(S, i8, axis=1),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_int8_validation(rng):
+    corpus = rng.standard_normal((1000, 32)).astype(np.float32)
+    with pytest.raises(ValueError, match="normalize"):
+        StreamingExactIndex(corpus, tile_rows=512, transfer_dtype="int8",
+                            normalize=True)
+    with pytest.raises(ValueError, match="too wide"):
+        StreamingExactIndex(np.ones((256, 2048), np.float32),
+                            tile_rows=128, transfer_dtype="int8")
