@@ -40,10 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked quadruplet dataset (uses all captions)")
     b.add_argument("--index_dir", required=True)
     b.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "pq"],
                    help="index storage dtype: bfloat16 scores at MXU rate; "
                    "int8 halves HBM again (2x corpus per chip, "
-                   "quantized-exact ranking)")
+                   "quantized-exact ranking); pq stores m bytes/doc "
+                   "(16x smaller than bf16 at m=48) with exact re-rank "
+                   "from host-resident rows")
+    b.add_argument("--pq_m", type=int, default=48,
+                   help="PQ subspaces (= bytes/doc) for --index_dtype pq")
     b.add_argument("--encoder_preset", default="minilm-l6")
     b.add_argument("--vocab_path", default=None)
     b.add_argument("--model_path",
@@ -59,10 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                        "dynamic micro-batching across concurrent requests)")
     s.add_argument("--index_dir", required=True)
     s.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "pq"],
                    help="index storage dtype: bfloat16 scores at MXU rate; "
                    "int8 halves HBM again (2x corpus per chip, "
-                   "quantized-exact ranking)")
+                   "quantized-exact ranking); pq stores m bytes/doc "
+                   "(16x smaller than bf16 at m=48) with exact re-rank "
+                   "from host-resident rows")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--max_batch", type=int, default=256)
@@ -92,10 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="search a persisted index")
     q.add_argument("--index_dir", required=True)
     q.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "pq"],
                    help="index storage dtype: bfloat16 scores at MXU rate; "
                    "int8 halves HBM again (2x corpus per chip, "
-                   "quantized-exact ranking)")
+                   "quantized-exact ranking); pq stores m bytes/doc "
+                   "(16x smaller than bf16 at m=48) with exact re-rank "
+                   "from host-resident rows")
     q.add_argument("--queries", nargs="+", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--encoder_preset", default="minilm-l6")
@@ -144,7 +152,8 @@ def main(argv=None) -> int:
         if not docs:
             raise SystemExit("no documents to index")
         retriever = Retriever(_encoder(args),
-                              index_dtype=args.index_dtype)
+                              index_dtype=args.index_dtype,
+                              pq_m=args.pq_m)
         retriever.build(docs)
         retriever.save(args.index_dir)
         dump_args(args, args.index_dir)

@@ -21,6 +21,9 @@ from qst_tpu.retrieval.index import ExactIndex
 INDEX_FILE = "embeddings.npy"
 IDS_FILE = "ids.json"
 META_FILE = "index_meta.json"
+PQ_CODES_FILE = "pq_codes.npy"
+PQ_CODEBOOKS_FILE = "pq_codebooks.npy"
+PQ_ROWS_FILE = "pq_refine_rows.npy"
 
 
 def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
@@ -36,15 +39,34 @@ def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
 
 
 def load_index(path: str, mesh=None,
-               dtype: Optional[str] = None) -> Tuple[ExactIndex, dict]:
+               dtype: Optional[str] = None) -> Tuple[Any, dict]:
     """``dtype`` overrides the storage dtype at load time (e.g. serve an
     f32-saved index as bfloat16 or int8). An index SAVED as int8 carries
-    its quantization scale in the metadata and reloads bit-exactly."""
-    emb = np.load(os.path.join(path, INDEX_FILE))
+    its quantization scale in the metadata and reloads bit-exactly; one
+    saved as "pq" reloads its codes + codebooks (+ refine rows when they
+    were persisted) into a :class:`PQIndex` without retraining."""
     with open(os.path.join(path, IDS_FILE)) as f:
         ids = json.load(f)
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
+    if meta.get("dtype") == "pq":
+        if dtype not in (None, "pq"):
+            raise ValueError(
+                f"index at {path} was saved product-quantized; it cannot "
+                f"be reloaded as {dtype}")
+        from qst_tpu.retrieval.pq import PQIndex
+
+        codes = np.load(os.path.join(path, PQ_CODES_FILE))
+        cb = np.load(os.path.join(path, PQ_CODEBOOKS_FILE))
+        rows_path = os.path.join(path, PQ_ROWS_FILE)
+        rows = np.load(rows_path) if os.path.isfile(rows_path) else None
+        return PQIndex.from_codes(codes, cb, ids=ids, mesh=mesh,
+                                  refine_rows=rows), meta
+    if dtype == "pq":
+        raise ValueError(
+            f"index at {path} was not saved product-quantized — rebuild "
+            "it with index_dtype='pq'")
+    emb = np.load(os.path.join(path, INDEX_FILE))
     if meta.get("dtype") == "int8" and emb.dtype == np.int8:
         if dtype not in (None, "int8"):
             raise ValueError(
@@ -104,19 +126,24 @@ class Retriever:
     """
 
     def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim",
-                 reranker: Any = None, index_dtype: str = "float32"):
+                 reranker: Any = None, index_dtype: str = "float32",
+                 pq_m: int = 48):
         """reranker: optional cross-encoder with
         ``predict(pairs) -> scores`` (qst_tpu.models.CrossEncoder) for
         two-stage retrieval: dense top-N candidates → pair re-scoring.
 
         index_dtype: storage dtype for built/loaded indexes — "bfloat16"
         for MXU-rate scoring, "int8" for half the HBM again (2× corpus
-        per chip, quantized-exact ranking; see ExactIndex)."""
+        per chip, quantized-exact ranking; see ExactIndex), "pq" for a
+        product-quantized index (``pq_m`` bytes/doc in HBM — 16× smaller
+        than bf16 at the default m=48 — with the normalized originals
+        kept in HOST RAM for exact top-k re-ranking; see PQIndex)."""
         self.encoder = encoder
         self.mesh = mesh
         self.score = score
         self.reranker = reranker
         self.index_dtype = index_dtype
+        self.pq_m = pq_m
         self._index: Optional[Any] = None
         self._doc_texts: List[str] = []
         self._texts_by_id: dict = {}
@@ -176,8 +203,18 @@ class Retriever:
             raise RuntimeError("no index built or loaded")
         if self._is_updatable():
             return self
-        emb = np.asarray(self.index.embeddings,
-                         np.float32)[: self.index.n_docs]
+        from qst_tpu.retrieval.pq import PQIndex
+
+        if isinstance(self.index, PQIndex):
+            if self.index._refine_rows is None:
+                raise RuntimeError(
+                    "a PQ index without refine rows holds only codes — "
+                    "rebuild with keep_rows=True (the Retriever build "
+                    "default) to convert to an updatable index")
+            emb = np.asarray(self.index._refine_rows, np.float32)
+        else:
+            emb = np.asarray(self.index.embeddings,
+                             np.float32)[: self.index.n_docs]
         self._check_updatable_score(emb)   # full corpus: one host pass
         ids = list(self.index.ids)
         capacity = capacity or max(65536, 2 * len(ids))
@@ -257,11 +294,17 @@ class Retriever:
               ids: Optional[Sequence] = None) -> "Retriever":
         # device-resident handoff: embeddings go encoder → HBM index with
         # no host round trip (encode(convert_to_numpy=False) keeps every
-        # batch on device; ExactIndex consumes jax arrays directly)
+        # batch on device; the indexes consume jax arrays directly)
         emb = _encode_device(self.encoder, list(docs))
-        self.index = ExactIndex(emb, ids=list(ids) if ids is not None
-                                else list(range(len(docs))), mesh=self.mesh,
-                                dtype=self.index_dtype)
+        ids = list(ids) if ids is not None else list(range(len(docs)))
+        if self.index_dtype == "pq":
+            from qst_tpu.retrieval.pq import PQIndex
+
+            self.index = PQIndex(emb, m=self.pq_m, ids=ids, mesh=self.mesh,
+                                 keep_rows=True)
+        else:
+            self.index = ExactIndex(emb, ids=ids, mesh=self.mesh,
+                                    dtype=self.index_dtype)
         self._doc_texts = list(docs)
         return self
 
@@ -277,6 +320,32 @@ class Retriever:
             if all(t is not None for t in texts):
                 with open(os.path.join(path, "docs.json"), "w") as f:
                     json.dump(texts, f)
+            return
+        from qst_tpu.retrieval.pq import PQIndex
+
+        if isinstance(self.index, PQIndex):
+            # the PQ artifact is codes + codebooks (16× smaller than the
+            # embedding matrix at m=48); refine rows persist as f32 (bf16
+            # has no portable .npy encoding — the reload re-cast is
+            # bit-exact) so reloaded searches re-rank identically
+            os.makedirs(path, exist_ok=True)
+            np.save(os.path.join(path, PQ_CODES_FILE),
+                    np.asarray(self.index.codes)[: self.index.n_docs])
+            np.save(os.path.join(path, PQ_CODEBOOKS_FILE),
+                    np.asarray(self.index.codebooks, np.float32))
+            if self.index._refine_rows is not None:
+                np.save(os.path.join(path, PQ_ROWS_FILE),
+                        np.asarray(self.index._refine_rows, np.float32))
+            with open(os.path.join(path, IDS_FILE), "w") as f:
+                json.dump(list(self.index.ids), f)
+            with open(os.path.join(path, META_FILE), "w") as f:
+                json.dump({"n_docs": int(self.index.n_docs),
+                           "dim": int(self.index.dim), "dtype": "pq",
+                           "m": int(self.index.m), "score": self.score,
+                           "refine": self.index._refine_rows is not None},
+                          f)
+            with open(os.path.join(path, "docs.json"), "w") as f:
+                json.dump(self._doc_texts, f)
             return
         emb = np.asarray(self.index.embeddings)[: self.index.n_docs]
         meta = {"score": self.score}

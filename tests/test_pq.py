@@ -1,0 +1,310 @@
+"""PQIndex: product-quantization correctness, refine re-rank, shard parity.
+
+The PQ score is an approximation by construction, so these tests pin the
+parts that ARE deterministic: codes match a numpy argmin golden, search
+scores equal the reconstruction dot-products for the returned ids, both
+decode paths agree bit-for-bit, the sharded search equals single-device,
+and exact re-ranking restores true cosine ranking on clustered data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qst_tpu.core.meshes import make_mesh
+from qst_tpu.retrieval import ExactIndex, PQIndex
+from qst_tpu.retrieval.pq import PQ_TILE, pq_encode
+
+
+def _clustered(rng, n, d, n_centers=32, noise=0.05):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    assign = rng.integers(0, n_centers, n)
+    return (centers[assign]
+            + noise * rng.standard_normal((n, d)).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    corpus = _clustered(rng, 700, 32)
+    queries = _clustered(rng, 9, 32)
+    return corpus, queries
+
+
+def _np_encode(corpus, codebooks):
+    """Numpy golden of pq_encode: per-subspace L2 argmin."""
+    m, k, ds = codebooks.shape
+    x = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    xs = x.reshape(len(x), m, ds)
+    d2 = (np.sum(xs * xs, axis=2)[:, :, None]
+          - 2 * np.einsum("bmd,mkd->bmk", xs, codebooks)
+          + np.sum(codebooks * codebooks, axis=2)[None])
+    return np.argmin(d2, axis=2).astype(np.uint8)
+
+
+def test_codes_match_numpy_golden(data):
+    corpus, _ = data
+    idx = PQIndex(corpus, m=8, n_iters=6)
+    cb = np.asarray(idx.codebooks)
+    codes = np.asarray(pq_encode(jnp.asarray(corpus), idx.codebooks))
+    golden = _np_encode(corpus, cb)
+    # ties broken differently are legal: check the chosen centroid's
+    # distance equals the golden minimum
+    m, _, ds = cb.shape
+    x = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    xs = x.reshape(len(x), m, ds)
+    got = np.linalg.norm(
+        xs - np.take_along_axis(cb[None], codes[:, :, None, None],
+                                axis=2).squeeze(2), axis=2)
+    want = np.linalg.norm(
+        xs - np.take_along_axis(cb[None], golden[:, :, None, None],
+                                axis=2).squeeze(2), axis=2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_scores_are_reconstruction_dots(data):
+    """Every returned score equals q_norm · reconstruction(id) (bf16)."""
+    corpus, queries = data
+    idx = PQIndex(corpus, m=8, n_iters=6)
+    s, i = idx.search(queries, k=10)
+    cb = np.asarray(idx.codebooks, np.float32)
+    codes = _np_encode(corpus, cb)
+    m, _, ds = cb.shape
+    recon = np.take_along_axis(
+        cb[None], codes[:, :, None, None], axis=2).squeeze(2)
+    recon = recon.reshape(len(corpus), -1)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    golden = qn @ recon.T
+    picked = np.take_along_axis(golden, i, axis=1)
+    np.testing.assert_allclose(s, picked, rtol=2e-2, atol=2e-2)
+
+
+def test_refine_restores_exact_cosine(data):
+    corpus, queries = data
+    pq = PQIndex(corpus, m=8, n_iters=6, keep_rows=True)
+    exact = ExactIndex(corpus, normalize=True)
+    s_e, i_e = exact.search(queries, k=10)
+    s_r, i_r = pq.search(queries, k=10, refine_factor=8)
+    # refined scores are TRUE cosines of the returned ids
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    golden = qn @ cn.T
+    np.testing.assert_allclose(
+        s_r, np.take_along_axis(golden, i_r, axis=1), rtol=2e-2, atol=2e-2)
+    # and recall@10 vs exact must be high on clustered data
+    recall = np.mean([len(set(a) & set(b)) / 10.0
+                      for a, b in zip(i_e, i_r)])
+    assert recall >= 0.9, f"refined recall@10 {recall:.2f}"
+
+
+def test_decode_paths_agree(data):
+    corpus, queries = data
+    idx = PQIndex(corpus, m=8, n_iters=6)
+    s1, i1 = idx.search(queries, k=10, decode="onehot")
+    s2, i2 = idx.search(queries, k=10, decode="gather")
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_matches_single_device(data):
+    corpus, queries = data
+    mesh = make_mesh()   # all 8 virtual devices
+    single = PQIndex(corpus, m=8, n_iters=6)
+    sharded = PQIndex(corpus, m=8, n_iters=6, mesh=mesh)
+    s1, i1 = single.search(queries, k=10)
+    s2, i2 = sharded.search(queries, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)
+
+
+def test_multi_tile_scan(data):
+    """Corpus spanning several PQ tiles: indices stay global."""
+    corpus, queries = data
+    rng = np.random.default_rng(11)
+    big = np.concatenate(
+        [corpus] * ((2 * PQ_TILE) // len(corpus) + 1))[: 2 * PQ_TILE + 37]
+    big += 1e-3 * rng.standard_normal(big.shape).astype(np.float32)
+    idx = PQIndex(big, m=8, n_iters=4, train_sample=2048, seed=3)
+    s, i = idx.search(queries, k=5)
+    assert i.min() >= 0 and i.max() < len(big)
+    # scores non-increasing per row
+    assert np.all(np.diff(s, axis=1) <= 1e-6)
+
+
+def test_search_stream_matches_search(data):
+    corpus, queries = data
+    idx = PQIndex(corpus, m=8, n_iters=6)
+    batches = [queries[:4], queries[4:7], queries[7:]]
+    got = list(idx.search_stream(batches, k=7, depth=2))
+    assert len(got) == 3
+    for q, (s, i) in zip(batches, got):
+        s1, i1 = idx.search(q, k=7)
+        np.testing.assert_array_equal(i, i1)
+        np.testing.assert_allclose(s, s1, rtol=1e-6)
+
+
+def test_reconstruction_mse_drops_with_m(data):
+    corpus, _ = data
+    lo = PQIndex(corpus, m=8, n_iters=6).reconstruction_mse(corpus[:200])
+    hi = PQIndex(corpus, m=16, n_iters=6).reconstruction_mse(corpus[:200])
+    assert hi < lo
+
+
+def test_ids_and_validation(data):
+    corpus, queries = data
+    ids = [f"d{j}" for j in range(len(corpus))]
+    idx = PQIndex(corpus, m=8, n_iters=4, ids=ids)
+    _, rows = idx.search_ids(queries, k=3)
+    assert all(r.startswith("d") for row in rows for r in row)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PQIndex(corpus, m=24)             # 32 % 24 != 0
+    with pytest.raises(ValueError, match="multiple of 8"):
+        PQIndex(corpus[:, :30], m=10)
+    with pytest.raises(ValueError, match="keep_rows"):
+        idx.search(queries, k=3, refine_factor=2)
+    with pytest.raises(ValueError, match="ids length"):
+        PQIndex(corpus, m=8, ids=["a"])
+    with pytest.raises(ValueError, match="cos_sim/dot_score"):
+        idx.search(queries, k=3, score="euclid_score")
+    with pytest.raises(ValueError, match="unknown decode"):
+        idx.search(queries, k=3, decode="magic")
+    with pytest.raises(ValueError, match=r"need ≥|need >=|need"):
+        PQIndex(corpus[:100], m=8)        # fewer docs than centroids
+
+    # pre-trained codebooks are adoptable (small corpora)
+    reuse = PQIndex(corpus[:100], m=8, codebooks=idx.codebooks)
+    s, i = reuse.search(queries, k=3)
+    assert i.shape == (len(queries), 3)
+    with pytest.raises(ValueError, match="codebooks shape"):
+        PQIndex(corpus[:100], m=8,
+                codebooks=np.zeros((8, 16, 4), np.float32))
+
+
+def test_k_clamped_to_n(data):
+    corpus, queries = data
+    idx = PQIndex(corpus[:300], m=8, n_iters=4)
+    s, i = idx.search(queries, k=2048)
+    assert s.shape == (len(queries), 300)
+
+
+# ---------------- Retriever / persistence integration ----------------
+
+class _HashEncoder:
+    def encode(self, texts):
+        from helpers import hash_embed
+
+        return hash_embed(list(texts))
+
+
+def _many_docs(n=300):
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    return [f"{topics[i % len(topics)]} document number {i}"
+            for i in range(n)]
+
+
+def test_retriever_pq_build_save_load(tmp_path):
+    from qst_tpu.retrieval import Retriever
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="pq", pq_m=16)
+    r.build(docs, ids=[f"d{i}" for i in range(len(docs))])
+    before = r.search(["a cat rests"], k=5, return_texts=True)
+    assert before[0][0][2].startswith("cat")
+
+    r.save(str(tmp_path / "idx"))
+    import os
+    assert os.path.isfile(tmp_path / "idx" / "pq_codes.npy")
+    assert not os.path.isfile(tmp_path / "idx" / "embeddings.npy")
+
+    r2 = Retriever(_HashEncoder(), index_dtype="pq").load(
+        str(tmp_path / "idx"))
+    after = r2.search(["a cat rests"], k=5, return_texts=True)
+    assert [h[0] for h in before[0]] == [h[0] for h in after[0]]
+    np.testing.assert_allclose([h[1] for h in before[0]],
+                               [h[1] for h in after[0]], rtol=1e-5)
+
+    # dtype cross-loading is rejected both ways
+    from qst_tpu.retrieval import load_index
+
+    with pytest.raises(ValueError, match="product-quantized"):
+        load_index(str(tmp_path / "idx"), dtype="bfloat16")
+    r3 = Retriever(_HashEncoder()).build(docs[:5])
+    r3.save(str(tmp_path / "f32"))
+    with pytest.raises(ValueError, match="product-quantized"):
+        load_index(str(tmp_path / "f32"), dtype="pq")
+
+
+def test_retriever_pq_search_stream(tmp_path):
+    from qst_tpu.retrieval import Retriever
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="pq", pq_m=16).build(docs)
+    got = list(r.search_stream([["a dog runs"], ["pasta dish"]], k=3))
+    assert len(got) == 2 and len(got[0][0]) == 3
+    # streaming path is PQ-only (no refine) — ids must still be valid
+    assert all(isinstance(h[0], int) for h in got[0][0])
+
+
+def test_retriever_pq_to_updatable():
+    from qst_tpu.retrieval import Retriever
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="pq", pq_m=16).build(docs)
+    r.to_updatable(capacity=1024)
+    assert r.index.n_docs == len(docs)
+    hits = r.search(["a plane flies"], k=3)
+    assert len(hits[0]) == 3
+
+
+def test_index_cli_pq_build_and_query(tmp_path, capsys):
+    """--index_dtype pq persists codes+codebooks+refine rows; query
+    reloads them without retraining."""
+    import json as _json
+    import os
+
+    from qst_tpu.cli import index_main
+
+    texts = str(tmp_path / "docs.txt")
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    with open(texts, "w") as f:
+        for i in range(300):
+            f.write(f"{topics[i % 5]} doc number {i}\n")
+    idx_dir = str(tmp_path / "pqidx")
+    rc = index_main.main(["build", "--texts", texts, "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--index_dtype", "pq", "--pq_m", "8"])
+    assert rc == 0
+    codes = np.load(os.path.join(idx_dir, "pq_codes.npy"))
+    assert codes.dtype == np.uint8 and codes.shape == (300, 8)
+    with open(os.path.join(idx_dir, "index_meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["dtype"] == "pq" and meta["m"] == 8 and meta["refine"]
+
+    rc = index_main.main(["query", "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny", "--index_dtype", "pq",
+                          "--queries", "a cat on a rug", "--k", "2"])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["hits"]) == 2
+
+
+def test_from_chunks_matches_array_build(data):
+    """Streamed build == one-shot build (same sample ⇒ same codebooks ⇒
+    same codes ⇒ same searches)."""
+    corpus, queries = data
+    # train_sample covers the corpus: both builds train on all rows in the
+    # same order with the same key, so codebooks are bit-identical
+    one = PQIndex(corpus, m=8, n_iters=6, train_sample=1024)
+    chunks = [corpus[i:i + 150] for i in range(0, len(corpus), 150)]
+    streamed = PQIndex.from_chunks(iter(chunks), m=8, n_iters=6,
+                                   train_sample=1024)
+    assert streamed.n_docs == len(corpus)
+    s1, i1 = one.search(queries, k=10)
+    s2, i2 = streamed.search(queries, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="need"):
+        PQIndex.from_chunks(iter([corpus[:100]]), m=8)
