@@ -41,7 +41,7 @@ def structured_corpus(key, n, d, rank=64, noise=0.05):
     kw, kl, kn = jax.random.split(key, 3)
     w = jax.random.normal(kw, (rank, d), jnp.float32) / np.sqrt(rank)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("rows",))
     def gen(k1, k2, rows):
         lat = jax.random.normal(k1, (rows, rank), jnp.float32)
         return lat @ w + noise * jax.random.normal(k2, (rows, d),
@@ -72,7 +72,9 @@ def sustained_qps(search_stream, q, k, iters, depth=4):
 
 def run_default(args):
     n, d, k = args.n_docs or 1_000_000, args.dim, args.k
-    for dist in ("structured", "iid-normal"):
+    dists = (("structured", "iid-normal") if args.dist == "both"
+             else (args.dist,))
+    for dist in dists:
         key = jax.random.key(0)
         if dist == "structured":
             corpus = structured_corpus(key, n, d)
@@ -184,6 +186,8 @@ def main():
     ap.add_argument("--q", type=int, default=4096)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dist", default="both",
+                    choices=["both", "structured", "iid-normal"])
     args = ap.parse_args()
     (run_capacity if args.capacity else run_default)(args)
 

@@ -54,6 +54,18 @@ from qst_tpu.ops.distances import l2_normalize
 K_CENTROIDS = 256  # one byte per code — fixed, like every classic PQ
 
 
+def random_rotation(d: int, seed: int = 0) -> jax.Array:
+    """Random orthogonal (d, d) matrix (QR of a Gaussian) — the cheap OPQ:
+    rotating embeddings before subspace splitting spreads variance evenly
+    across subspaces, which lowers per-subspace quantization error when the
+    data's principal directions are axis-concentrated. One extra (Q, D)
+    matmul per search; the corpus rotation folds into encoding."""
+    g = jax.random.normal(jax.random.key(seed), (d, d), jnp.float32)
+    q, r = jnp.linalg.qr(g)
+    # fix QR's sign ambiguity so the rotation is deterministic
+    return q * jnp.sign(jnp.diagonal(r))[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("m", "n_iters"))
 def pq_train(sample: jax.Array, key: jax.Array, m: int,
              n_iters: int = 12) -> jax.Array:
@@ -277,9 +289,14 @@ class PQIndex:
                  n_iters: int = 12, train_sample: int = 131072,
                  seed: int = 0, mesh: Optional[Mesh] = None,
                  keep_rows: bool = False, encode_chunk: int = 1 << 16,
-                 codebooks: Optional[jax.Array] = None):
+                 codebooks: Optional[jax.Array] = None,
+                 rotate: bool = False,
+                 rotation: Optional[jax.Array] = None):
         # encode_chunk bounds pq_encode's (B, m, 256) f32 fit transient
         # (~3.2 GB at the default 65536 rows, m=48)
+        # rotate=True (the cheap OPQ, see random_rotation) quantizes in a
+        # rotated basis; refine rows and refined scores stay in the
+        # ORIGINAL basis (rotation is orthogonal, cosines are unchanged)
         emb = embeddings if isinstance(embeddings, jax.Array) \
             else np.asarray(embeddings)
         n, d = emb.shape
@@ -295,6 +312,15 @@ class PQIndex:
         self.ids = list(ids) if ids is not None else list(range(n))
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
+
+        self._rotation = None
+        if rotation is not None:
+            self._rotation = jnp.asarray(rotation, jnp.float32)
+            if self._rotation.shape != (d, d):
+                raise ValueError(
+                    f"rotation shape {self._rotation.shape} != {(d, d)}")
+        elif rotate:
+            self._rotation = random_rotation(d, seed)
 
         key = jax.random.key(seed)
         if codebooks is not None:
@@ -316,6 +342,8 @@ class PQIndex:
                     if not isinstance(emb, jax.Array) else jnp.asarray(emb[idx])
             else:
                 sample = jnp.asarray(emb)
+            if self._rotation is not None:
+                sample = jnp.asarray(sample, jnp.float32) @ self._rotation
             self.codebooks = pq_train(sample, key, m, n_iters)
 
         # chunked encode with a 2-deep pipeline (same overlap pattern as the
@@ -337,7 +365,9 @@ class PQIndex:
         for lo in range(0, n, encode_chunk):
             hi = min(lo + encode_chunk, n)
             chunk = jnp.asarray(emb[lo:hi])
-            codes_dev = pq_encode(chunk, self.codebooks)
+            enc_in = chunk if self._rotation is None \
+                else chunk.astype(jnp.float32) @ self._rotation
+            codes_dev = pq_encode(enc_in, self.codebooks)
             rows_dev = None
             if keep_rows:
                 rows_dev = l2_normalize(
@@ -375,7 +405,8 @@ class PQIndex:
     @classmethod
     def from_chunks(cls, chunks, m: int = 48, ids: Optional[list] = None,
                     mesh: Optional[Mesh] = None, n_iters: int = 12,
-                    train_sample: int = 131072, seed: int = 0) -> "PQIndex":
+                    train_sample: int = 131072, seed: int = 0,
+                    rotate: bool = False) -> "PQIndex":
         """Build from an ITERABLE of (B, D) host chunks — the corpus never
         needs to exist as one array, so the in-HBM code capacity (~m bytes
         per doc) is reachable even when the full f32 corpus would not fit
@@ -402,16 +433,20 @@ class PQIndex:
             raise ValueError(f"dim {d} not divisible by m={m}")
         if m % 8 != 0:
             raise ValueError(f"m must be a multiple of 8, got {m}")
-        codebooks = pq_train(jnp.asarray(sample), jax.random.key(seed),
-                             m, n_iters)
+        rot = random_rotation(d, seed) if rotate else None
+        train_in = jnp.asarray(sample) if rot is None \
+            else jnp.asarray(sample) @ rot
+        codebooks = pq_train(train_in, jax.random.key(seed), m, n_iters)
 
         code_parts: List[np.ndarray] = []
         pending: List[jax.Array] = []
         import itertools
 
         for chunk in itertools.chain(buffered, it):
-            pending.append(pq_encode(jnp.asarray(chunk, jnp.float32),
-                                     codebooks))
+            x = jnp.asarray(chunk, jnp.float32)
+            if rot is not None:
+                x = x @ rot
+            pending.append(pq_encode(x, codebooks))
             if len(pending) >= 2:     # 2-deep overlap, as in __init__
                 code_parts.append(np.asarray(pending.pop(0)))
         code_parts.extend(np.asarray(p) for p in pending)
@@ -421,6 +456,7 @@ class PQIndex:
         self = cls.__new__(cls)
         self.m, self.dim, self.n_docs = m, d, n
         self.codebooks = codebooks
+        self._rotation = rot
         self.ids = list(ids) if ids is not None else list(range(n))
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
@@ -435,7 +471,8 @@ class PQIndex:
     @classmethod
     def from_codes(cls, codes, codebooks, ids: Optional[list] = None,
                    mesh: Optional[Mesh] = None,
-                   refine_rows: Optional[np.ndarray] = None) -> "PQIndex":
+                   refine_rows: Optional[np.ndarray] = None,
+                   rotation: Optional[jax.Array] = None) -> "PQIndex":
         """Rebuild an index from persisted artifacts — no retraining or
         re-encoding (the Retriever reload path). ``refine_rows``, when
         given, are the unit-normalized original vectors (host-resident,
@@ -456,6 +493,13 @@ class PQIndex:
                              f"codes with m={m}")
         self.m, self.dim, self.n_docs = m, m * cb.shape[2], n
         self.codebooks = cb
+        self._rotation = None
+        if rotation is not None:
+            self._rotation = jnp.asarray(rotation, jnp.float32)
+            if self._rotation.shape != (self.dim, self.dim):
+                raise ValueError(
+                    f"rotation shape {self._rotation.shape} != "
+                    f"{(self.dim, self.dim)}")
         self.ids = list(ids) if ids is not None else list(range(n))
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
@@ -488,6 +532,8 @@ class PQIndex:
         """Mean squared reconstruction error of a sample — the PQ training
         objective; tests assert it drops as m grows."""
         x = l2_normalize(jnp.asarray(sample, jnp.float32))
+        if self._rotation is not None:
+            x = x @ self._rotation
         codes = pq_encode(x, self.codebooks)
         recon = _decode_onehot(codes, self.codebooks.astype(_compute_dtype()))
         recon = recon.reshape(x.shape[0], -1).astype(jnp.float32)
@@ -508,6 +554,10 @@ class PQIndex:
                              f"choices: {sorted(_DECODERS)}")
         k = min(k, self.n_docs)
         q = jnp.asarray(queries, jnp.float32)
+        if self._rotation is not None:
+            # rotation is orthogonal: normalize-then-rotate == rotate-then-
+            # normalize, so pq_topk's internal normalization stays correct
+            q = q @ self._rotation
         n_real = jnp.full((1,), self.n_docs, jnp.int32)
         if self.mesh is not None:
             key = (k, decode)

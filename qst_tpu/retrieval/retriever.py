@@ -24,6 +24,7 @@ META_FILE = "index_meta.json"
 PQ_CODES_FILE = "pq_codes.npy"
 PQ_CODEBOOKS_FILE = "pq_codebooks.npy"
 PQ_ROWS_FILE = "pq_refine_rows.npy"
+PQ_ROTATION_FILE = "pq_rotation.npy"
 
 
 def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
@@ -60,8 +61,10 @@ def load_index(path: str, mesh=None,
         cb = np.load(os.path.join(path, PQ_CODEBOOKS_FILE))
         rows_path = os.path.join(path, PQ_ROWS_FILE)
         rows = np.load(rows_path) if os.path.isfile(rows_path) else None
+        rot_path = os.path.join(path, PQ_ROTATION_FILE)
+        rot = np.load(rot_path) if os.path.isfile(rot_path) else None
         return PQIndex.from_codes(codes, cb, ids=ids, mesh=mesh,
-                                  refine_rows=rows), meta
+                                  refine_rows=rows, rotation=rot), meta
     if dtype == "pq":
         raise ValueError(
             f"index at {path} was not saved product-quantized — rebuild "
@@ -127,7 +130,7 @@ class Retriever:
 
     def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim",
                  reranker: Any = None, index_dtype: str = "float32",
-                 pq_m: int = 48):
+                 pq_m: int = 48, pq_rotate: bool = False):
         """reranker: optional cross-encoder with
         ``predict(pairs) -> scores`` (qst_tpu.models.CrossEncoder) for
         two-stage retrieval: dense top-N candidates → pair re-scoring.
@@ -144,6 +147,7 @@ class Retriever:
         self.reranker = reranker
         self.index_dtype = index_dtype
         self.pq_m = pq_m
+        self.pq_rotate = pq_rotate
         self._index: Optional[Any] = None
         self._doc_texts: List[str] = []
         self._texts_by_id: dict = {}
@@ -301,7 +305,7 @@ class Retriever:
             from qst_tpu.retrieval.pq import PQIndex
 
             self.index = PQIndex(emb, m=self.pq_m, ids=ids, mesh=self.mesh,
-                                 keep_rows=True)
+                                 keep_rows=True, rotate=self.pq_rotate)
         else:
             self.index = ExactIndex(emb, ids=ids, mesh=self.mesh,
                                     dtype=self.index_dtype)
@@ -336,6 +340,9 @@ class Retriever:
             if self.index._refine_rows is not None:
                 np.save(os.path.join(path, PQ_ROWS_FILE),
                         np.asarray(self.index._refine_rows, np.float32))
+            if self.index._rotation is not None:
+                np.save(os.path.join(path, PQ_ROTATION_FILE),
+                        np.asarray(self.index._rotation, np.float32))
             with open(os.path.join(path, IDS_FILE), "w") as f:
                 json.dump(list(self.index.ids), f)
             with open(os.path.join(path, META_FILE), "w") as f:

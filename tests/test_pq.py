@@ -308,3 +308,53 @@ def test_from_chunks_matches_array_build(data):
 
     with pytest.raises(ValueError, match="need"):
         PQIndex.from_chunks(iter([corpus[:100]]), m=8)
+
+
+def test_rotation_roundtrip_and_recall(data, tmp_path):
+    """rotate=True quantizes in a rotated basis; persistence restores it
+    (same ids/scores after reload), and refined scores stay true cosines
+    in the ORIGINAL basis."""
+    corpus, queries = data
+    rot = PQIndex(corpus, m=8, n_iters=6, keep_rows=True, rotate=True,
+                  seed=3)
+    assert rot._rotation is not None
+    # rotation is orthogonal
+    r = np.asarray(rot._rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-5)
+
+    s, i = rot.search(queries, k=10, refine_factor=8)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    golden = qn @ cn.T
+    np.testing.assert_allclose(s, np.take_along_axis(golden, i, axis=1),
+                               rtol=2e-2, atol=2e-2)
+
+    # persistence: save through a Retriever-shaped artifact dir
+    from qst_tpu.retrieval import Retriever
+
+    rr = Retriever(_HashEncoder(), index_dtype="pq", pq_m=16,
+                   pq_rotate=True)
+    docs = _many_docs()
+    rr.build(docs)
+    before = rr.search(["a cat rests"], k=5)
+    rr.save(str(tmp_path / "rotidx"))
+    import os
+    assert os.path.isfile(tmp_path / "rotidx" / "pq_rotation.npy")
+    r2 = Retriever(_HashEncoder(), index_dtype="pq").load(
+        str(tmp_path / "rotidx"))
+    after = r2.search(["a cat rests"], k=5)
+    assert [h[0] for h in before[0]] == [h[0] for h in after[0]]
+    np.testing.assert_allclose([h[1] for h in before[0]],
+                               [h[1] for h in after[0]], rtol=1e-5)
+
+
+def test_rotation_from_chunks(data):
+    corpus, queries = data
+    one = PQIndex(corpus, m=8, n_iters=6, train_sample=1024, rotate=True)
+    chunks = [corpus[i:i + 150] for i in range(0, len(corpus), 150)]
+    streamed = PQIndex.from_chunks(iter(chunks), m=8, n_iters=6,
+                                   train_sample=1024, rotate=True)
+    s1, i1 = one.search(queries, k=10)
+    s2, i2 = streamed.search(queries, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
