@@ -124,7 +124,7 @@ class EncoderConfig:
     """
 
     name: str = "minilm-l6"
-    arch: str = "bert"  # "bert" | "mpnet"
+    arch: str = "bert"  # "bert" | "mpnet" | "roberta"
     vocab_size: int = 30522
     hidden_size: int = 384
     num_layers: int = 6
@@ -168,6 +168,30 @@ class EncoderConfig:
             intermediate_size=3072,
             max_position_embeddings=514,
             pad_token_id=1,
+        )
+        base.update(overrides)
+        return EncoderConfig(**base)
+
+    @staticmethod
+    def roberta_large(**overrides: Any) -> "EncoderConfig":
+        """The reference's cross-encoder trunk
+        (cross-encoder/stsb-roberta-large, reference models/evaluators.py:31):
+        RoBERTa differs from BERT in padding-aware position ids offset by
+        pad_token_id, a single token-type, byte-level BPE vocab, and
+        layer-norm eps 1e-5 — the state-dict layout is BERT's."""
+        base = dict(
+            name="roberta-large",
+            arch="roberta",
+            vocab_size=50265,
+            hidden_size=1024,
+            num_layers=24,
+            num_heads=16,
+            intermediate_size=4096,
+            max_position_embeddings=514,
+            type_vocab_size=1,
+            layer_norm_eps=1e-5,
+            pad_token_id=1,
+            pooling="cls",
         )
         base.update(overrides)
         return EncoderConfig(**base)

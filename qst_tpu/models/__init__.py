@@ -6,6 +6,7 @@ from qst_tpu.models.sentence_encoder import (
     embed_fn,
     embed_many_fn,
 )
+from qst_tpu.models.bpe_tokenizer import RobertaBPETokenizer
 from qst_tpu.models.cross_encoder import (
     CrossEncoderModule,
     CrossEncoder,
@@ -31,6 +32,7 @@ __all__ = [
     "init_params",
     "embed_fn",
     "embed_many_fn",
+    "RobertaBPETokenizer",
     "CrossEncoderModule",
     "CrossEncoder",
     "init_cross_encoder",

@@ -43,8 +43,12 @@ class BertEmbeddings(nn.Module):
                         dtype=_dtype(c))(input_ids)
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
                        name="position_embeddings", dtype=_dtype(c))(position_ids)
+        # clamp: RoBERTa checkpoints carry type_vocab_size=1 while pair
+        # tokenizers emit segment 1 for the second text — the embedding is
+        # segment-blind there by construction, not out-of-bounds
         typ = nn.Embed(c.type_vocab_size, c.hidden_size,
-                       name="token_type_embeddings", dtype=_dtype(c))(token_type_ids)
+                       name="token_type_embeddings", dtype=_dtype(c))(
+            jnp.minimum(token_type_ids, c.type_vocab_size - 1))
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm",
                          dtype=jnp.float32)(x)
@@ -150,8 +154,16 @@ class BertEncoder(nn.Module):
         B, S = input_ids.shape
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
-        position_ids = jnp.broadcast_to(
-            jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+        if c.arch == "roberta":
+            # fairseq-style padding-aware positions offset by pad_token_id
+            # (HF RobertaEmbeddings.create_position_ids_from_input_ids)
+            from qst_tpu.models.mpnet import padding_aware_position_ids
+
+            position_ids = padding_aware_position_ids(input_ids,
+                                                      c.pad_token_id)
+        else:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
         hidden = BertEmbeddings(c, name="embeddings")(
             input_ids, token_type_ids, position_ids, deterministic)
         # additive mask bias: 0 where attended, large-negative where padded

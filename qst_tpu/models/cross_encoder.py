@@ -30,7 +30,17 @@ class CrossEncoderModule(nn.Module):
             input_ids, attention_mask, token_type_ids, deterministic)
         cls = hidden[:, 0, :].astype(jnp.float32)
         cls = nn.Dropout(self.cfg.hidden_dropout)(cls, deterministic=deterministic)
-        logit = nn.Dense(1, name="classifier", dtype=jnp.float32)(cls)
+        if self.cfg.arch == "roberta":
+            # HF RobertaClassificationHead (the exact head of the
+            # reference's cross-encoder/stsb-roberta-large): dense → tanh
+            # → dropout → out_proj
+            cls = jnp.tanh(nn.Dense(self.cfg.hidden_size, name="head_dense",
+                                    dtype=jnp.float32)(cls))
+            cls = nn.Dropout(self.cfg.hidden_dropout)(
+                cls, deterministic=deterministic)
+            logit = nn.Dense(1, name="out_proj", dtype=jnp.float32)(cls)
+        else:
+            logit = nn.Dense(1, name="classifier", dtype=jnp.float32)(cls)
         return logit.squeeze(-1)  # (B,)
 
 

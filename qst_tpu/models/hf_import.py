@@ -19,7 +19,7 @@ import numpy as np
 
 from qst_tpu.core.config import EncoderConfig
 
-_PREFIXES = ("", "bert.", "0.auto_model.", "auto_model.")
+_PREFIXES = ("", "bert.", "roberta.", "0.auto_model.", "auto_model.")
 
 
 def _strip_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -96,11 +96,39 @@ def import_bert_params(
     return params
 
 
+def import_cross_encoder_params(
+    state_dict: Mapping[str, Any], cfg: EncoderConfig
+) -> Dict[str, Any]:
+    """→ params pytree for ``CrossEncoderModule`` from an HF
+    ``*ForSequenceClassification`` state dict (num_labels=1) — the layout
+    of sentence-transformers CrossEncoder checkpoints like the reference's
+    ``cross-encoder/stsb-roberta-large`` (reference models/evaluators.py:31).
+    The trunk maps through :func:`import_bert_params`; the head maps to the
+    architecture's classification head (roberta: dense+tanh+out_proj;
+    bert-style single linear otherwise)."""
+    raw = {k: _np(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {
+        "encoder": import_bert_params(state_dict, cfg)}
+    if cfg.arch == "roberta":
+        params["head_dense"] = {
+            "kernel": raw["classifier.dense.weight"].T,
+            "bias": raw["classifier.dense.bias"]}
+        params["out_proj"] = {
+            "kernel": raw["classifier.out_proj.weight"].T,
+            "bias": raw["classifier.out_proj.bias"]}
+    else:
+        params["classifier"] = {
+            "kernel": raw["classifier.weight"].T,
+            "bias": raw["classifier.bias"]}
+    return params
+
+
 def import_sentence_encoder_params(
     state_dict: Mapping[str, Any], cfg: EncoderConfig
 ) -> Dict[str, Any]:
     """→ params pytree for ``SentenceEncoderModule`` (wraps the trunk);
-    dispatches on the configured architecture."""
+    dispatches on the configured architecture (roberta state dicts share
+    BERT's key layout — position handling differs only in the forward)."""
     if cfg.arch == "mpnet":
         from qst_tpu.models.mpnet import import_mpnet_params
 
@@ -156,9 +184,9 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
         hf_cfg = json.load(f)
 
     model_type = hf_cfg.get("model_type", "bert")
-    if model_type not in ("bert", "mpnet"):
+    if model_type not in ("bert", "mpnet", "roberta"):
         raise ValueError(f"unsupported model_type {model_type!r} "
-                         "(bert and mpnet trunks are supported)")
+                         "(bert, roberta and mpnet trunks are supported)")
     kw = dict(
         name=os.path.basename(os.path.normpath(ckpt_dir)),
         arch=model_type,
@@ -173,6 +201,8 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
     )
     if model_type == "bert":
         kw["type_vocab_size"] = int(hf_cfg.get("type_vocab_size", 2))
+    elif model_type == "roberta":
+        kw["type_vocab_size"] = int(hf_cfg.get("type_vocab_size", 1))
 
     sbert_cfg = _find("sentence_bert_config.json")
     if sbert_cfg:
@@ -195,6 +225,10 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
     params = import_sentence_encoder_params(
         load_torch_state_dict(weights), cfg)
     vocab_path = _find("vocab.txt")
+    if vocab_path is None:
+        # byte-level BPE checkpoints (roberta family): vocab.json +
+        # merges.txt — load_tokenizer dispatches on the .json suffix
+        vocab_path = _find("vocab.json")
     return cfg, params, vocab_path
 
 

@@ -236,8 +236,14 @@ class HashTokenizer:
 
 def load_tokenizer(path_or_mock: str, vocab_size: int = 512, **kw):
     """Load a WordPiece vocab if a path exists (native C++ batch tokenizer
-    when buildable, else pure Python), otherwise a HashTokenizer mock."""
+    when buildable, else pure Python), otherwise a HashTokenizer mock.
+    A ``.json`` path loads a byte-level BPE vocab (roberta-family
+    checkpoints: ``vocab.json`` + sibling ``merges.txt``)."""
     if path_or_mock and os.path.isfile(path_or_mock):
+        if path_or_mock.endswith(".json"):
+            from qst_tpu.models.bpe_tokenizer import RobertaBPETokenizer
+
+            return RobertaBPETokenizer.from_files(path_or_mock, **kw)
         try:
             from qst_tpu.native import FastWordPieceTokenizer, native_available
 
