@@ -40,14 +40,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked quadruplet dataset (uses all captions)")
     b.add_argument("--index_dir", required=True)
     b.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "pq"],
-                   help="index storage dtype: bfloat16 scores at MXU rate; "
-                   "int8 halves HBM again (2x corpus per chip, "
+                   choices=["float32", "bfloat16", "int8", "pq", "ivf"],
+                   help="index storage dtype/kind: bfloat16 scores at MXU "
+                   "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
                    "(16x smaller than bf16 at m=48) with exact re-rank "
-                   "from host-resident rows")
+                   "from host-resident rows; ivf is the approximate "
+                   "k-means-cell index (n_probe cells scanned per query)")
     b.add_argument("--pq_m", type=int, default=48,
                    help="PQ subspaces (= bytes/doc) for --index_dtype pq")
+    b.add_argument("--ivf_clusters", type=int, default=256,
+                   help="k-means cells for --index_dtype ivf")
+    b.add_argument("--ivf_probe", type=int, default=8,
+                   help="cells scanned per query for --index_dtype ivf "
+                   "(persisted as the index default)")
     b.add_argument("--encoder_preset", default="minilm-l6")
     b.add_argument("--vocab_path", default=None)
     b.add_argument("--model_path",
@@ -63,12 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                        "dynamic micro-batching across concurrent requests)")
     s.add_argument("--index_dir", required=True)
     s.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "pq"],
-                   help="index storage dtype: bfloat16 scores at MXU rate; "
-                   "int8 halves HBM again (2x corpus per chip, "
+                   choices=["float32", "bfloat16", "int8", "pq", "ivf"],
+                   help="index storage dtype/kind: bfloat16 scores at MXU "
+                   "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
                    "(16x smaller than bf16 at m=48) with exact re-rank "
-                   "from host-resident rows")
+                   "from host-resident rows; ivf is the approximate "
+                   "k-means-cell index (n_probe cells scanned per query)")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--max_batch", type=int, default=256)
@@ -98,12 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="search a persisted index")
     q.add_argument("--index_dir", required=True)
     q.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "pq"],
-                   help="index storage dtype: bfloat16 scores at MXU rate; "
-                   "int8 halves HBM again (2x corpus per chip, "
+                   choices=["float32", "bfloat16", "int8", "pq", "ivf"],
+                   help="index storage dtype/kind: bfloat16 scores at MXU "
+                   "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
                    "(16x smaller than bf16 at m=48) with exact re-rank "
-                   "from host-resident rows")
+                   "from host-resident rows; ivf is the approximate "
+                   "k-means-cell index (n_probe cells scanned per query)")
     q.add_argument("--queries", nargs="+", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--encoder_preset", default="minilm-l6")
@@ -153,7 +161,9 @@ def main(argv=None) -> int:
             raise SystemExit("no documents to index")
         retriever = Retriever(_encoder(args),
                               index_dtype=args.index_dtype,
-                              pq_m=args.pq_m)
+                              pq_m=args.pq_m,
+                              ivf_clusters=args.ivf_clusters,
+                              ivf_probe=args.ivf_probe)
         retriever.build(docs)
         retriever.save(args.index_dir)
         dump_args(args, args.index_dir)

@@ -345,7 +345,8 @@ class IVFIndex:
                  cell_budget: Optional[int] = None, seed: int = 0,
                  train_sample: int = 262144, spill_rounds: int = 4,
                  dtype: str = "float32", mesh: Optional[Mesh] = None,
-                 assign_chunk: int = 1 << 20):
+                 assign_chunk: int = 1 << 20, default_n_probe: int = 8):
+        self.default_n_probe = default_n_probe
         if dtype not in ("float32", "bfloat16"):
             raise ValueError(f"dtype must be float32|bfloat16, got {dtype}")
         emb = embeddings if isinstance(embeddings, jax.Array) \
@@ -430,6 +431,16 @@ class IVFIndex:
         cell_ids[flat_pos] = np.arange(n, dtype=np.int32)
         cell_ids = jnp.asarray(cell_ids.reshape(n_clusters, L))
 
+        self._install_cells(cells, cell_ids, mesh)
+        self.n_docs = n
+        self.cell_budget = L
+
+    def _install_cells(self, cells, cell_ids, mesh: Optional[Mesh]) -> None:
+        """Place the (C, L, D) cell tensors on device, cell-sharded over
+        the mesh when given (padded cells are never probed — the centroid
+        top-k covers only real cells — but their ids stay -1 so a gather
+        cannot surface them)."""
+        n_clusters = cells.shape[0]
         self.mesh = mesh
         self._sharded_fns = {}
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
@@ -442,17 +453,51 @@ class IVFIndex:
                 cell_ids = jnp.pad(cell_ids,
                                    ((0, c_pad - n_clusters), (0, 0)),
                                    constant_values=-1)
-                # padded cells are never probed (centroid top-k covers only
-                # real cells) but keep ids -1 so a gather can't surface them
             sharding = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
             self.cells = jax.device_put(cells, sharding)
             self.cell_ids = jax.device_put(cell_ids, sharding)
         else:
             self.mesh = None
-            self.cells = cells
-            self.cell_ids = cell_ids
+            self.cells = jnp.asarray(cells)
+            self.cell_ids = jnp.asarray(cell_ids)
+
+    @classmethod
+    def from_arrays(cls, centroids, cells, cell_ids, fill,
+                    ids: Optional[list] = None, mesh: Optional[Mesh] = None,
+                    default_n_probe: int = 8) -> "IVFIndex":
+        """Rebuild from persisted arrays — no k-means, no assignment (the
+        Retriever reload path). ``cells`` is the (C, L, D) padded cell
+        tensor (any float dtype), ``cell_ids`` (C, L) int32 with -1
+        padding, ``fill`` (C,) per-cell occupancy."""
+        self = cls.__new__(cls)
+        self.default_n_probe = default_n_probe
+        cells = cells if isinstance(cells, jax.Array) else np.asarray(cells)
+        cell_ids = np.asarray(cell_ids, np.int32)
+        if cells.ndim != 3 or cell_ids.shape != cells.shape[:2]:
+            raise ValueError(
+                f"cells {cells.shape} / cell_ids {cell_ids.shape} mismatch")
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.fill = jnp.asarray(np.asarray(fill, np.int32))
+        n = int((cell_ids >= 0).sum())
+        self.ids = list(ids) if ids is not None else list(range(n))
+        if len(self.ids) != n:
+            raise ValueError("ids length mismatch")
+        self.spilled = 0
+        self._install_cells(jnp.asarray(cells), cell_ids, mesh)
         self.n_docs = n
-        self.cell_budget = L
+        self.cell_budget = int(cells.shape[1])
+        return self
+
+    def reconstruct_rows(self) -> np.ndarray:
+        """→ (n_docs, D) float32 host matrix of the stored (normalized)
+        rows in id order — the cells hold the whole corpus, scattered."""
+        cells = np.asarray(self.cells, np.float32).reshape(
+            -1, self.cells.shape[-1])
+        flat_ids = np.asarray(self.cell_ids).reshape(-1)
+        out = np.empty((self.n_docs, cells.shape[1]), np.float32)
+        valid = flat_ids >= 0
+        out[flat_ids[valid]] = cells[valid]
+        return out
 
     def compact(self) -> None:
         """Re-pack the index's device memory after a build that churned HBM.
@@ -481,6 +526,29 @@ class IVFIndex:
         self.cells, self.cell_ids = (
             jax.device_put(h, sharding) if sharding is not None
             else jnp.asarray(h) for h in repacked)
+
+    def search_ids(self, queries, k: int = 10, score: str = "cos_sim",
+                   n_probe: Optional[int] = None):
+        """→ (scores, external-id lists). Cells store normalized rows, so
+        cos ≡ dot; euclid is rejected (same contract as the quantized
+        indexes)."""
+        if score not in ("cos_sim", "dot_score"):
+            raise ValueError("IVF index supports cos_sim/dot_score only "
+                             "(cells store normalized rows)")
+        return self.search(queries, k=k,
+                           n_probe=n_probe or self.default_n_probe)
+
+    def _device_search_retriever(self, q, k: int, score: str = "cos_sim",
+                                 tile: int = 0, backend: str = "auto"):
+        """The Retriever streaming contract (same positional shape as
+        ``ExactIndex._device_search``): one dispatched search at the
+        index's default_n_probe, device arrays returned."""
+        if score not in ("cos_sim", "dot_score"):
+            raise ValueError("IVF index supports cos_sim/dot_score only "
+                             "(cells store normalized rows)")
+        return self._device_search(jnp.asarray(q, jnp.float32),
+                                   min(k, self.n_docs),
+                                   self.default_n_probe, backend)
 
     def _pallas_eligible(self) -> bool:
         return (self.cell_budget % 128 == 0

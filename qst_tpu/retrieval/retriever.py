@@ -25,6 +25,10 @@ PQ_CODES_FILE = "pq_codes.npy"
 PQ_CODEBOOKS_FILE = "pq_codebooks.npy"
 PQ_ROWS_FILE = "pq_refine_rows.npy"
 PQ_ROTATION_FILE = "pq_rotation.npy"
+IVF_CENTROIDS_FILE = "ivf_centroids.npy"
+IVF_CELLS_FILE = "ivf_cells.npy"
+IVF_CELL_IDS_FILE = "ivf_cell_ids.npy"
+IVF_FILL_FILE = "ivf_fill.npy"
 
 
 def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
@@ -69,6 +73,27 @@ def load_index(path: str, mesh=None,
         raise ValueError(
             f"index at {path} was not saved product-quantized — rebuild "
             "it with index_dtype='pq'")
+    if meta.get("dtype") == "ivf":
+        if dtype not in (None, "ivf"):
+            raise ValueError(
+                f"index at {path} was saved as an IVF index; it cannot "
+                f"be reloaded as {dtype}")
+        from qst_tpu.retrieval.ivf import IVFIndex
+
+        cells = np.load(os.path.join(path, IVF_CELLS_FILE))
+        if meta.get("cells_dtype") == "bfloat16":
+            import jax.numpy as jnp
+
+            cells = cells.astype(jnp.bfloat16)
+        return IVFIndex.from_arrays(
+            np.load(os.path.join(path, IVF_CENTROIDS_FILE)), cells,
+            np.load(os.path.join(path, IVF_CELL_IDS_FILE)),
+            np.load(os.path.join(path, IVF_FILL_FILE)), ids=ids, mesh=mesh,
+            default_n_probe=int(meta.get("n_probe", 8))), meta
+    if dtype == "ivf":
+        raise ValueError(
+            f"index at {path} was not saved as an IVF index — rebuild "
+            "it with index_dtype='ivf'")
     emb = np.load(os.path.join(path, INDEX_FILE))
     if meta.get("dtype") == "int8" and emb.dtype == np.int8:
         if dtype not in (None, "int8"):
@@ -130,7 +155,8 @@ class Retriever:
 
     def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim",
                  reranker: Any = None, index_dtype: str = "float32",
-                 pq_m: int = 48, pq_rotate: bool = False):
+                 pq_m: int = 48, pq_rotate: bool = False,
+                 ivf_clusters: int = 256, ivf_probe: int = 8):
         """reranker: optional cross-encoder with
         ``predict(pairs) -> scores`` (qst_tpu.models.CrossEncoder) for
         two-stage retrieval: dense top-N candidates → pair re-scoring.
@@ -148,6 +174,8 @@ class Retriever:
         self.index_dtype = index_dtype
         self.pq_m = pq_m
         self.pq_rotate = pq_rotate
+        self.ivf_clusters = ivf_clusters
+        self.ivf_probe = ivf_probe
         self._index: Optional[Any] = None
         self._doc_texts: List[str] = []
         self._texts_by_id: dict = {}
@@ -209,6 +237,8 @@ class Retriever:
             return self
         from qst_tpu.retrieval.pq import PQIndex
 
+        from qst_tpu.retrieval.ivf import IVFIndex
+
         if isinstance(self.index, PQIndex):
             if self.index._refine_rows is None:
                 raise RuntimeError(
@@ -216,6 +246,8 @@ class Retriever:
                     "rebuild with keep_rows=True (the Retriever build "
                     "default) to convert to an updatable index")
             emb = np.asarray(self.index._refine_rows, np.float32)
+        elif isinstance(self.index, IVFIndex):
+            emb = self.index.reconstruct_rows()
         else:
             emb = np.asarray(self.index.embeddings,
                              np.float32)[: self.index.n_docs]
@@ -306,6 +338,12 @@ class Retriever:
 
             self.index = PQIndex(emb, m=self.pq_m, ids=ids, mesh=self.mesh,
                                  keep_rows=True, rotate=self.pq_rotate)
+        elif self.index_dtype == "ivf":
+            from qst_tpu.retrieval.ivf import IVFIndex
+
+            self.index = IVFIndex(emb, n_clusters=self.ivf_clusters,
+                                  ids=ids, mesh=self.mesh,
+                                  default_n_probe=self.ivf_probe)
         else:
             self.index = ExactIndex(emb, ids=ids, mesh=self.mesh,
                                     dtype=self.index_dtype)
@@ -325,7 +363,36 @@ class Retriever:
                 with open(os.path.join(path, "docs.json"), "w") as f:
                     json.dump(texts, f)
             return
+        from qst_tpu.retrieval.ivf import IVFIndex
         from qst_tpu.retrieval.pq import PQIndex
+
+        if isinstance(self.index, IVFIndex):
+            # cells persist f32 (bf16 has no portable .npy encoding; the
+            # dtype is recorded and reload re-casts)
+            os.makedirs(path, exist_ok=True)
+            cells = np.asarray(self.index.cells)
+            cells_dtype = ("bfloat16" if cells.dtype != np.float32
+                           else "float32")
+            np.save(os.path.join(path, IVF_CELLS_FILE),
+                    cells.astype(np.float32))
+            np.save(os.path.join(path, IVF_CENTROIDS_FILE),
+                    np.asarray(self.index.centroids, np.float32))
+            np.save(os.path.join(path, IVF_CELL_IDS_FILE),
+                    np.asarray(self.index.cell_ids, np.int32))
+            np.save(os.path.join(path, IVF_FILL_FILE),
+                    np.asarray(self.index.fill, np.int32))
+            with open(os.path.join(path, IDS_FILE), "w") as f:
+                json.dump(list(self.index.ids), f)
+            with open(os.path.join(path, META_FILE), "w") as f:
+                json.dump({"n_docs": int(self.index.n_docs),
+                           "dim": int(cells.shape[-1]), "dtype": "ivf",
+                           "cells_dtype": cells_dtype,
+                           "n_probe": int(self.index.default_n_probe),
+                           "cell_budget": int(self.index.cell_budget),
+                           "score": self.score}, f)
+            with open(os.path.join(path, "docs.json"), "w") as f:
+                json.dump(self._doc_texts, f)
+            return
 
         if isinstance(self.index, PQIndex):
             # the PQ artifact is codes + codebooks (16× smaller than the
@@ -409,6 +476,8 @@ class Retriever:
             for qi in range(idx.shape[0]):
                 row = []
                 for j, s in zip(idx[qi], scores[qi]):
+                    if j < 0:   # IVF can return fewer than k real hits
+                        continue
                     doc_id = self.index.ids[int(j)]
                     entry = (doc_id, float(s))
                     if return_texts and self._doc_texts:
@@ -420,7 +489,9 @@ class Retriever:
         pending: List = []
         for queries in query_batches:
             q_emb = _encode_device(self.encoder, list(queries))
-            pending.append(_pack_pair(*self.index._device_search(
+            dev_search = getattr(self.index, "_device_search_retriever",
+                                 self.index._device_search)
+            pending.append(_pack_pair(*dev_search(
                 q_emb, k, self.score, 131072, "auto")))
             if len(pending) >= depth:
                 yield finish(pending.pop(0))
@@ -472,7 +543,10 @@ class Retriever:
             text_of = (lambda d: self._doc_texts[pos_of[d]])
         out = []
         for qi, query in enumerate(queries):
-            cand = list(zip(ids[qi], [float(s) for s in scores[qi]]))
+            # IVF rows can hold None tails when the probed cells contain
+            # fewer than fetch_k docs — drop them, they are not hits
+            cand = [(i, float(s)) for i, s in zip(ids[qi], scores[qi])
+                    if i is not None]
             if rerank_k:
                 # `or ""`: an add racing an updatable search can surface a
                 # doc whose text isn't in the snapshotted map yet — feed

@@ -202,3 +202,110 @@ def test_ivf_compact_preserves_results(clustered_corpus, mesh8):
         after = ivf.search(queries, k=7, n_probe=5)
         np.testing.assert_array_equal(after[0], before[0])
         assert after[1] == before[1]
+
+
+# ---------------- Retriever / persistence integration ----------------
+
+class _HashEncoder:
+    def encode(self, texts):
+        from helpers import hash_embed
+
+        return hash_embed(list(texts))
+
+
+def _many_docs(n=600):
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    return [f"{topics[i % len(topics)]} document number {i}"
+            for i in range(n)]
+
+
+def test_retriever_ivf_build_save_load(tmp_path):
+    from qst_tpu.retrieval import Retriever
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="ivf", ivf_clusters=16,
+                  ivf_probe=4)
+    r.build(docs, ids=[f"d{i}" for i in range(len(docs))])
+    before = r.search(["a cat rests"], k=5, return_texts=True)
+    assert before[0][0][2].startswith("cat")
+
+    r.save(str(tmp_path / "idx"))
+    import os
+    assert os.path.isfile(tmp_path / "idx" / "ivf_cells.npy")
+
+    r2 = Retriever(_HashEncoder(), index_dtype="ivf").load(
+        str(tmp_path / "idx"))
+    assert r2.index.default_n_probe == 4
+    after = r2.search(["a cat rests"], k=5, return_texts=True)
+    assert [h[0] for h in before[0]] == [h[0] for h in after[0]]
+    np.testing.assert_allclose([h[1] for h in before[0]],
+                               [h[1] for h in after[0]], rtol=1e-5)
+
+    from qst_tpu.retrieval import load_index
+
+    with pytest.raises(ValueError, match="IVF"):
+        load_index(str(tmp_path / "idx"), dtype="bfloat16")
+
+
+def test_retriever_ivf_search_stream_and_updatable():
+    from qst_tpu.retrieval import Retriever
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="ivf", ivf_clusters=16,
+                  ivf_probe=4).build(docs)
+    got = list(r.search_stream([["a dog runs"], ["pasta dish"]], k=3))
+    assert len(got) == 2 and 1 <= len(got[0][0]) <= 3
+
+    r.to_updatable(capacity=2048)
+    assert r.index.n_docs == len(docs)
+    hits = r.search(["a plane flies"], k=3)
+    assert len(hits[0]) == 3
+
+
+def test_ivf_from_arrays_matches_original():
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((500, 32)).astype(np.float32)
+    q = rng.standard_normal((7, 32)).astype(np.float32)
+    idx = IVFIndex(corpus, n_clusters=8, train_sample=512, seed=1,
+                   default_n_probe=4)
+    re = IVFIndex.from_arrays(
+        np.asarray(idx.centroids), np.asarray(idx.cells),
+        np.asarray(idx.cell_ids), np.asarray(idx.fill),
+        default_n_probe=4)
+    s1, i1 = idx.search(q, k=5, n_probe=4)
+    s2, i2 = re.search(q, k=5, n_probe=4)
+    assert i1 == i2
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    # reconstructed rows equal the normalized corpus
+    rows = idx.reconstruct_rows()
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    np.testing.assert_allclose(rows, cn, rtol=1e-5, atol=1e-6)
+
+
+def test_index_cli_ivf_build_and_query(tmp_path, capsys):
+    import json as _json
+    import os
+
+    from qst_tpu.cli import index_main
+
+    texts = str(tmp_path / "docs.txt")
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    with open(texts, "w") as f:
+        for i in range(400):
+            f.write(f"{topics[i % 5]} doc number {i}\n")
+    idx_dir = str(tmp_path / "ivfidx")
+    rc = index_main.main(["build", "--texts", texts, "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--index_dtype", "ivf", "--ivf_clusters", "16",
+                          "--ivf_probe", "4"])
+    assert rc == 0
+    with open(os.path.join(idx_dir, "index_meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["dtype"] == "ivf" and meta["n_probe"] == 4
+
+    rc = index_main.main(["query", "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny", "--index_dtype", "ivf",
+                          "--queries", "a cat on a rug", "--k", "2"])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["hits"]) == 2
