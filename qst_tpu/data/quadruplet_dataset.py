@@ -76,6 +76,7 @@ class QuadrupletDataset:
         self.n_neg = n_neg
         self.transform = transform
         self.miner = miner
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
     @classmethod
@@ -106,17 +107,19 @@ class QuadrupletDataset:
         return len(self.store)
 
     # -- sampling ----------------------------------------------------------
-    def _sample_instance(self, index: int) -> Dict[str, Any]:
+    def _sample_instance(self, index: int,
+                         rng: np.random.Generator) -> Dict[str, Any]:
         inst = self.store.get_instance(index)
         return {
             "id": inst.get("id", index),
             KEY_REFERENCE: inst[KEY_REFERENCE],
-            KEY_POSITIVE: choose_examples(inst[KEY_POSITIVE], self.n_pos, self._rng),
+            KEY_POSITIVE: choose_examples(inst[KEY_POSITIVE], self.n_pos, rng),
             KEY_PART_POSITIVE: choose_examples(
-                inst[KEY_PART_POSITIVE], self.n_part_pos, self._rng),
+                inst[KEY_PART_POSITIVE], self.n_part_pos, rng),
         }
 
-    def _random_negatives(self, anchors: List[str]) -> List[List[str]]:
+    def _random_negatives(self, anchors: List[str],
+                          rng: np.random.Generator) -> List[List[str]]:
         """Miner-less fallback: uniform captions from other instances (no
         similarity filter). Used only when no miner is configured."""
         out = []
@@ -124,20 +127,29 @@ class QuadrupletDataset:
         for _ in anchors:
             negs = []
             for _ in range(self.n_neg):
-                j = int(self._rng.integers(0, n_total))
+                j = int(rng.integers(0, n_total))
                 other = self.store.get_instance(j)
                 pool = [other[KEY_REFERENCE]] + list(other.get(KEY_POSITIVE, []))
-                negs.append(pool[int(self._rng.integers(0, len(pool)))])
+                negs.append(pool[int(rng.integers(0, len(pool)))])
             out.append(negs)
         return out
 
-    def sample_batch(self, indices: Sequence[int], step: int = 0) -> List[Dict[str, Any]]:
-        items = [self._sample_instance(i) for i in indices]
+    def sample_batch(self, indices: Sequence[int],
+                     step: Optional[int] = None) -> List[Dict[str, Any]]:
+        """With ``step``, sampling is a pure function of (seed, step) —
+        a resumed training run replays the exact draws the interrupted run
+        would have made (preemption parity); without it (map-style access),
+        the mutable stream resamples per call like the reference's
+        ``__getitem__``."""
+        rng = (self._rng if step is None
+               else np.random.default_rng(
+                   np.random.SeedSequence([self._seed, int(step)])))
+        items = [self._sample_instance(i, rng) for i in indices]
         anchors = [it[KEY_REFERENCE] for it in items]
         if self.miner is not None:
-            negs = self.miner.mine(anchors, self.n_neg, step=step)
+            negs = self.miner.mine(anchors, self.n_neg, step=step or 0)
         else:
-            negs = self._random_negatives(anchors)
+            negs = self._random_negatives(anchors, rng)
         for it, neg in zip(items, negs):
             it[KEY_NEGATIVE] = list(neg)
         if self.transform is not None:
@@ -153,12 +165,17 @@ class QuadrupletDataset:
     # -- batched iteration (training path) ----------------------------------
     def iter_batches(self, batch_size: int, shuffle: bool = True,
                      drop_last: bool = True, epoch: int = 0,
-                     step_offset: int = 0) -> Iterator[List[Dict[str, Any]]]:
+                     step_offset: int = 0, start_batch: int = 0
+                     ) -> Iterator[List[Dict[str, Any]]]:
+        """``start_batch`` skips the first batches of the (deterministic
+        per-epoch) order without sampling them — the trainer's
+        preemption-resume fast-forward: a resumed run continues from the
+        exact batch the interrupted run would have seen next."""
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(hash((epoch, 14)) & 0x7FFFFFFF).shuffle(order)
         step = step_offset
-        for start in range(0, len(order), batch_size):
+        for start in range(start_batch * batch_size, len(order), batch_size):
             idx = order[start:start + batch_size]
             if len(idx) < batch_size:
                 if drop_last:

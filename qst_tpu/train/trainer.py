@@ -214,20 +214,31 @@ class Trainer:
         run_eval(epoch=-1, steps=-1)
 
         global_step = int(state.step)
+        # preemption-resume fast-forward: the per-epoch batch order and the
+        # per-step sampling/rng keys are all deterministic functions of
+        # (epoch, step), so a resumed run that SKIPS the already-trained
+        # batches continues the interrupted run exactly (tested bit-close
+        # in tests/test_train.py::test_resume_matches_uninterrupted)
+        steps_per_epoch = max(1, len(self.dataset) // cfg.batch_size)
+        start_epoch, resume_skip = divmod(global_step, steps_per_epoch)
+        if global_step == 0:
+            start_epoch, resume_skip = 0, 0
         stop = False
         t_start = time.perf_counter()
         compiled_steps = 0
         from qst_tpu.data.prefetch import PrefetchIterator
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             if stop:
                 break
+            skip = resume_skip if epoch == start_epoch else 0
             # sampling + mining + collation run on a host thread, hidden
             # behind the device step
             prefetch = PrefetchIterator(
                 self.dataset.iter_batches(cfg.batch_size, shuffle=True,
                                           epoch=epoch,
-                                          step_offset=global_step),
+                                          step_offset=global_step,
+                                          start_batch=skip),
                 transform=self.collator, depth=2 * self.steps_per_call)
             pending = []
             iterator = iter(prefetch)

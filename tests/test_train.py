@@ -428,3 +428,51 @@ def test_fused_loss_kernel_config_validation():
         LossConfig(p=1.0, use_fused_kernel=True)
     with pytest.raises(ValueError, match="use_fused_kernel"):
         LossConfig(swap=True, use_fused_kernel=True)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Preemption parity: a run resumed from a MID-EPOCH checkpoint finishes
+    with the same parameters as the uninterrupted run. Holds because the
+    per-epoch batch order, per-step sampling draws (step-keyed rng in
+    sample_batch), per-step dropout keys (fold_in(global_step)), and the
+    optimizer state are all deterministic functions of (seed, step), and
+    the trainer fast-forwards the already-trained batches on resume."""
+    import shutil
+
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=12)   # 24 instances
+
+    def make(exp):
+        ds = QuadrupletDataset(root, n_pos=2, n_part_pos=2, n_neg=1, seed=1)
+        tok = HashTokenizer(vocab_size=TINY.vocab_size)
+        collator = QuadrupletCollator(tok, max_length=TINY.max_seq_length)
+        tcfg = TrainConfig(
+            batch_size=4, epochs=2, learning_rate=1e-3,
+            scheduler="warmuplinear", warmup_steps=2, evaluation_steps=0,
+            checkpoint_save_steps=5, checkpoint_save_total_limit=10,
+            save_best_model=False, experiment_dir=str(tmp_path / exp))
+        return Trainer(TINY, LOSS, tcfg, ds, collator), tcfg
+
+    # uninterrupted: 2 epochs x 6 steps/epoch = 12 steps
+    trainer_a, cfg_a = make("expA")
+    final_a = trainer_a.train().state
+    assert int(final_a.step) == 12
+
+    # "preempted" run: only the step-5 checkpoint survives (mid epoch 0)
+    trainer_b, cfg_b = make("expB")
+    src_ckpt = os.path.join(cfg_a.experiment_dir, "checkpoints")
+    dst_ckpt = os.path.join(cfg_b.experiment_dir, "checkpoints")
+    os.makedirs(cfg_b.experiment_dir, exist_ok=True)
+    shutil.copytree(src_ckpt, dst_ckpt)
+    for entry in os.listdir(dst_ckpt):
+        if entry.isdigit() and int(entry) > 5:
+            shutil.rmtree(os.path.join(dst_ckpt, entry))
+    final_b = trainer_b.train(resume=True).state
+    assert int(final_b.step) == 12
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(final_a.params),
+                    jax.tree.leaves(final_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
