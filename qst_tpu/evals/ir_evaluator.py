@@ -38,14 +38,23 @@ class InformationRetrievalEvaluator:
         log_dir: Optional[str] = None,
         name: str = "ir",
         cache_corpus_index: bool = False,
+        index_factory: Optional[Callable] = None,
     ):
         """``cache_corpus_index=True`` builds the corpus index ONCE and
         reuses it across ``__call__``s — only valid when the encoder is
         frozen between calls (repeated evaluation of one model over many
         query sets / epochs of an unchanged baseline); during training the
-        corpus embeddings change every call, so the default rebuilds."""
+        corpus embeddings change every call, so the default rebuilds.
+
+        ``index_factory(embeddings, ids, mesh) -> index`` swaps the exact
+        index for any other family (IVFIndex / PQIndex / int8 ExactIndex),
+        so approximate-index recall loss is measurable directly on the
+        FULL IR metric grid — the end-to-end answer to "what does n_probe
+        / PQ compression cost me in NDCG@10". Approximate indexes score
+        cos/dot only; restrict ``cfg.score_functions`` accordingly."""
         cfg = cfg or IREvalConfig()
         self._cache_corpus_index = cache_corpus_index
+        self._index_factory = index_factory
         self._index: Optional[ExactIndex] = None
         # keep only queries that have at least one relevant doc
         self.query_ids = [q for q in queries if relevant.get(q)]
@@ -80,7 +89,12 @@ class InformationRetrievalEvaluator:
             index = self._index
         else:
             c_emb = encode_keep_device(encode_fn, self.corpus_texts)
-            index = ExactIndex(c_emb, ids=self.corpus_ids, mesh=self.mesh)
+            if self._index_factory is not None:
+                index = self._index_factory(c_emb, self.corpus_ids,
+                                            self.mesh)
+            else:
+                index = ExactIndex(c_emb, ids=self.corpus_ids,
+                                   mesh=self.mesh)
             if self._cache_corpus_index:
                 self._index = index
 

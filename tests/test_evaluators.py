@@ -299,3 +299,47 @@ def test_ir_evaluator_device_resident_and_cached_index():
     assert s2 == s1
     # second call reused the cached corpus index: only queries re-encoded
     assert len(calls) == n_after_first + 1
+
+
+def test_ir_evaluator_index_factory_approximate():
+    """index_factory swaps the exact index for IVF / PQ — approximate
+    recall loss becomes measurable on the full IR metric grid. On this
+    clustered toy set IVF at full probing must match exact metrics, and
+    PQ-with-refine must come close."""
+    from helpers import hash_embed
+
+    from qst_tpu.core.config import IREvalConfig
+    from qst_tpu.evals.ir_evaluator import InformationRetrievalEvaluator
+    from qst_tpu.retrieval import IVFIndex, PQIndex
+
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    corpus = {f"d{i}": f"{topics[i % 5]} corpus doc {i}" for i in range(400)}
+    queries = {f"q{i}": f"{topics[i % 5]} query {i}" for i in range(20)}
+    relevant = {f"q{i}": {f"d{j}" for j in range(400)
+                          if j % 5 == i % 5}
+                for i in range(20)}
+    cfg = IREvalConfig(
+        accuracy_at_k=(1, 5), precision_recall_at_k=(5,), mrr_at_k=(10,),
+        ndcg_at_k=(10,), map_at_k=(10,), score_functions=("cos_sim",))
+
+    def encode(texts, convert_to_numpy=True):
+        return hash_embed(list(texts))
+
+    exact_ev = InformationRetrievalEvaluator(queries, corpus, relevant, cfg)
+    s_exact = exact_ev(encode)
+
+    ivf_ev = InformationRetrievalEvaluator(
+        queries, corpus, relevant, cfg,
+        index_factory=lambda emb, ids, mesh: IVFIndex(
+            np.asarray(emb), n_clusters=8, ids=ids, train_sample=512,
+            default_n_probe=8))
+    s_ivf = ivf_ev(encode)
+    # n_probe == n_clusters: every cell scanned → identical metrics
+    assert s_ivf == pytest.approx(s_exact, abs=1e-6)
+
+    pq_ev = InformationRetrievalEvaluator(
+        queries, corpus, relevant, cfg,
+        index_factory=lambda emb, ids, mesh: PQIndex(
+            np.asarray(emb), m=16, ids=ids, keep_rows=True))
+    s_pq = pq_ev(encode)
+    assert s_pq >= 0.7 * s_exact   # refined PQ close on clustered data
