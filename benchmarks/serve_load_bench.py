@@ -168,6 +168,12 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--n_docs", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--index_dtype", default="bfloat16",
+                    choices=["bfloat16", "int8", "pq"],
+                    help="serve a compressed index instead of bf16 (pq "
+                    "serves PQ-only scores: the exact re-rank's candidate "
+                    "gather rides the dev relay's ~40 MB/s host link and "
+                    "would measure the relay, not the server)")
     args = ap.parse_args()
     client_counts = [int(c) for c in args.clients.split(",")]
     worker_counts = [int(w) for w in args.workers.split(",")]
@@ -184,7 +190,16 @@ def main():
     emb = jax.jit(lambda x: l2_normalize(
         x.astype(jnp.float32)).astype(jnp.bfloat16))(emb)
     retr = Retriever(enc, score="dot_score")
-    retr.index = ExactIndex(emb, normalize=False, dtype="bfloat16")
+    if args.index_dtype == "pq":
+        from qst_tpu.retrieval import PQIndex
+
+        retr.index = PQIndex(emb, m=48)
+        retr.index.DEFAULT_REFINE = 0   # see --index_dtype help
+    else:
+        retr.index = ExactIndex(emb, normalize=False,
+                                dtype=args.index_dtype)
+    print(f"serving a {args.index_dtype} index over {args.n_docs:,} docs",
+          flush=True)
 
     # warm every compile shape the load phases can realize: the server
     # buckets both batch size and k to powers of two, so the shape set is

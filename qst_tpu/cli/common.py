@@ -22,6 +22,7 @@ ENCODER_PRESETS = {
     "tiny": EncoderConfig.tiny,
     "minilm-l6": EncoderConfig.minilm_l6,
     "mpnet-base": EncoderConfig.mpnet_base,
+    "roberta-large": EncoderConfig.roberta_large,
 }
 
 

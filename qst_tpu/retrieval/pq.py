@@ -261,12 +261,15 @@ def _sharded_pq_search_fn(mesh: Mesh, k: int, shard_rows: int, decode: str):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _refine_rescore(queries: jax.Array, cand_rows: jax.Array,
-                    cand_idx: jax.Array, k: int
+                    cand_idx: jax.Array, k: int,
+                    inv_scale: jax.Array
                     ) -> Tuple[jax.Array, jax.Array]:
     """Exact re-rank of gathered candidate rows: one einsum over the
-    (Q, K', D) candidate tensor, masked where the PQ scan returned -1."""
+    (Q, K', D) candidate tensor, masked where the PQ scan returned -1.
+    ``inv_scale`` de-quantizes int8 refine rows (1.0 for float rows)."""
     q = l2_normalize(queries.astype(jnp.float32))
-    s = jnp.einsum("qd,qkd->qk", q, cand_rows.astype(jnp.float32),
+    s = jnp.einsum("qd,qkd->qk", q,
+                   cand_rows.astype(jnp.float32) * inv_scale,
                    preferred_element_type=jnp.float32)
     s = jnp.where(cand_idx >= 0, s, -jnp.inf)
     s2, pos = jax.lax.top_k(s, k)
@@ -288,7 +291,7 @@ class PQIndex:
     def __init__(self, embeddings, m: int = 48, ids: Optional[list] = None,
                  n_iters: int = 12, train_sample: int = 131072,
                  seed: int = 0, mesh: Optional[Mesh] = None,
-                 keep_rows: bool = False, encode_chunk: int = 1 << 16,
+                 keep_rows=False, encode_chunk: int = 1 << 16,
                  codebooks: Optional[jax.Array] = None,
                  rotate: bool = False,
                  rotation: Optional[jax.Array] = None):
@@ -351,8 +354,20 @@ class PQIndex:
         quantum = pq_pad_quantum(n)
         n_pad = ((n + quantum - 1) // quantum) * quantum
         host_codes = np.zeros((n_pad, m), np.uint8)
+        # keep_rows: True/"bfloat16" retains the unit-normalized originals
+        # in host RAM at 2 B/dim; "int8" at 1 B/dim under the fixed scale
+        # 127 (valid: unit rows have |component| <= 1), halving both host
+        # RAM and the per-search candidate upload at int8-level score noise
+        if keep_rows not in (False, True, "bfloat16", "int8"):
+            raise ValueError(
+                f"keep_rows must be bool | 'bfloat16' | 'int8', "
+                f"got {keep_rows!r}")
         self._refine_rows: Optional[np.ndarray] = None
-        if keep_rows:
+        self._refine_scale = 1.0
+        if keep_rows == "int8":
+            self._refine_rows = np.empty((n, d), np.int8)
+            self._refine_scale = 127.0
+        elif keep_rows:
             self._refine_rows = np.empty((n, d), jnp.bfloat16)
         pending: List[Tuple[int, int, jax.Array, Optional[jax.Array]]] = []
 
@@ -369,7 +384,11 @@ class PQIndex:
                 else chunk.astype(jnp.float32) @ self._rotation
             codes_dev = pq_encode(enc_in, self.codebooks)
             rows_dev = None
-            if keep_rows:
+            if keep_rows == "int8":
+                norm = l2_normalize(chunk.astype(jnp.float32))
+                rows_dev = jnp.clip(jnp.round(norm * 127.0),
+                                    -127, 127).astype(jnp.int8)
+            elif keep_rows:
                 rows_dev = l2_normalize(
                     chunk.astype(jnp.float32)).astype(jnp.bfloat16)
             pending.append((lo, hi, codes_dev, rows_dev))
@@ -461,6 +480,7 @@ class PQIndex:
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
         self._refine_rows = None
+        self._refine_scale = 1.0
         quantum = pq_pad_quantum(n)
         n_pad = ((n + quantum - 1) // quantum) * quantum
         if n_pad != n:
@@ -504,13 +524,18 @@ class PQIndex:
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
         self._refine_rows = None
+        self._refine_scale = 1.0
         if refine_rows is not None:
             rows = np.asarray(refine_rows)
             if rows.shape != (n, self.dim):
                 raise ValueError(
                     f"refine_rows shape {rows.shape} != {(n, self.dim)}")
-            self._refine_rows = rows.astype(jnp.bfloat16) \
-                if rows.dtype != jnp.bfloat16 else rows
+            if rows.dtype == np.int8:    # scale-127 scheme (see __init__)
+                self._refine_rows = rows
+                self._refine_scale = 127.0
+            else:
+                self._refine_rows = rows.astype(jnp.bfloat16) \
+                    if rows.dtype != jnp.bfloat16 else rows
         quantum = pq_pad_quantum(n)
         n_pad = ((n + quantum - 1) // quantum) * quantum
         if adopt_device:
@@ -527,6 +552,16 @@ class PQIndex:
     @property
     def bytes_per_doc(self) -> int:
         return self.m
+
+    def refine_rows_f32(self) -> Optional[np.ndarray]:
+        """→ the refine rows as float32 unit vectors (de-quantized for
+        int8 storage) — the to_updatable / export surface."""
+        if self._refine_rows is None:
+            return None
+        rows = np.asarray(self._refine_rows, np.float32)
+        if self._refine_scale != 1.0:
+            rows = rows / np.float32(self._refine_scale)
+        return rows
 
     def reconstruction_mse(self, sample) -> float:
         """Mean squared reconstruction error of a sample — the PQ training
@@ -597,7 +632,8 @@ class PQIndex:
             cand = self._refine_rows[np.clip(idx, 0, self.n_docs - 1)]
             return fetch_pair(*_refine_rescore(
                 jnp.asarray(queries, jnp.float32), jnp.asarray(cand),
-                jnp.asarray(idx), min(k, self.n_docs)))
+                jnp.asarray(idx), min(k, self.n_docs),
+                jnp.float32(1.0 / self._refine_scale)))
         return fetch_pair(*self._device_search(queries, k, score,
                                                decode=decode))
 

@@ -245,7 +245,7 @@ class Retriever:
                     "a PQ index without refine rows holds only codes — "
                     "rebuild with keep_rows=True (the Retriever build "
                     "default) to convert to an updatable index")
-            emb = np.asarray(self.index._refine_rows, np.float32)
+            emb = self.index.refine_rows_f32()
         elif isinstance(self.index, IVFIndex):
             emb = self.index.reconstruct_rows()
         else:
@@ -405,8 +405,13 @@ class Retriever:
             np.save(os.path.join(path, PQ_CODEBOOKS_FILE),
                     np.asarray(self.index.codebooks, np.float32))
             if self.index._refine_rows is not None:
+                rows = self.index._refine_rows
+                # int8 rows persist verbatim (half the disk, reload keeps
+                # the scale-127 scheme); bf16 persists as f32 (portable,
+                # reload re-cast is bit-exact)
                 np.save(os.path.join(path, PQ_ROWS_FILE),
-                        np.asarray(self.index._refine_rows, np.float32))
+                        rows if rows.dtype == np.int8
+                        else np.asarray(rows, np.float32))
             if self.index._rotation is not None:
                 np.save(os.path.join(path, PQ_ROTATION_FILE),
                         np.asarray(self.index._rotation, np.float32))

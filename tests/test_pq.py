@@ -358,3 +358,62 @@ def test_rotation_from_chunks(data):
     s2, i2 = streamed.search(queries, k=10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_int8_refine_rows(data, tmp_path):
+    """keep_rows='int8' halves refine-row bytes; refined ranking must
+    match the bf16-row ranking on clustered data (int8-level score
+    noise), and the rows persist/reload verbatim."""
+    corpus, queries = data
+    bf = PQIndex(corpus, m=8, n_iters=6, keep_rows=True)
+    i8 = PQIndex(corpus, m=8, n_iters=6, keep_rows="int8")
+    assert i8._refine_rows.dtype == np.int8
+    assert i8._refine_rows.nbytes * 2 == bf._refine_rows.nbytes
+    s_b, i_b = bf.search(queries, k=10, refine_factor=8)
+    s_i, i_i = i8.search(queries, k=10, refine_factor=8)
+    # D=32 clusters hold many near-ties, so int8-level noise legitimately
+    # swaps a tail rank or two; the atol cosine check below is the real
+    # correctness pin
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(i_b, i_i)])
+    assert overlap >= 0.8
+    np.testing.assert_allclose(s_i, np.sort(s_i, axis=1)[:, ::-1])
+    # int8 refined scores are cosines up to quantization noise
+    np.testing.assert_allclose(
+        np.take_along_axis(
+            (queries / np.linalg.norm(queries, axis=1, keepdims=True))
+            @ (corpus / np.linalg.norm(corpus, axis=1,
+                                       keepdims=True)).T, i_i, axis=1),
+        s_i, atol=0.05)
+
+    with pytest.raises(ValueError, match="keep_rows"):
+        PQIndex(corpus, m=8, keep_rows="float64")
+
+    # round-trip through from_codes with int8 rows (the reload path)
+    re = PQIndex.from_codes(np.asarray(i8.codes)[:len(corpus)],
+                            i8.codebooks, refine_rows=i8._refine_rows)
+    s_r, i_r = re.search(queries, k=10, refine_factor=8)
+    np.testing.assert_array_equal(i_r, i_i)
+    np.testing.assert_allclose(s_r, s_i, rtol=1e-6)
+    # f32 export de-quantizes
+    rows = re.refine_rows_f32()
+    assert rows.dtype == np.float32 and abs(
+        np.linalg.norm(rows[0]) - 1.0) < 0.05
+
+
+def test_memmap_refine_rows(data, tmp_path):
+    """Refine rows may live on DISK (np.memmap): host RAM holds nothing,
+    the candidate gather reads only the touched rows."""
+    corpus, queries = data
+    pq = PQIndex(corpus, m=8, n_iters=6, keep_rows=True)
+    path = str(tmp_path / "rows.f32")
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=corpus.shape)
+    mm[:] = np.asarray(pq._refine_rows, np.float32)
+    mm.flush()
+    ro = np.memmap(path, dtype=np.float32, mode="r", shape=corpus.shape)
+    disk = PQIndex.from_codes(np.asarray(pq.codes)[:len(corpus)],
+                              pq.codebooks, refine_rows=ro)
+    s1, i1 = pq.search(queries, k=10, refine_factor=8)
+    s2, i2 = disk.search(queries, k=10, refine_factor=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
