@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_bool_flag(p, "use_pos_examples", True)
     add_bool_flag(p, "use_part_pos_examples", True)
     add_bool_flag(p, "use_cross_encoder", False)
+    p.add_argument("--cross_encoder_dir", default=None,
+                   help="local HF *ForSequenceClassification checkpoint "
+                   "dir (e.g. a clone of cross-encoder/stsb-roberta-large) "
+                   "for REAL relevance labels; default: random-init scorer "
+                   "of the encoder architecture (structural path)")
     add_bool_flag(p, "generate_query_variations", False,
                   "paraphrase queries with the augmentation stack "
                   "(reference evaluators.py:453)")
@@ -157,9 +162,23 @@ def main(argv=None) -> int:
             init_cross_encoder,
         )
 
-        ce = CrossEncoder(encoder_cfg,
-                          init_cross_encoder(encoder_cfg, jax.random.key(1)),
-                          tokenizer)
+        if args.cross_encoder_dir:
+            # weights-present path (PARITY_RUNBOOK.md): the reference's
+            # stsb-roberta-large labeler, or any bert/roberta num_labels=1
+            # classification checkpoint
+            from qst_tpu.models.hf_import import load_cross_encoder_dir
+            from qst_tpu.models.tokenizer import load_tokenizer
+
+            ce_cfg, ce_params, ce_vocab = load_cross_encoder_dir(
+                args.cross_encoder_dir)
+            ce_tok = load_tokenizer(ce_vocab or "",
+                                    vocab_size=ce_cfg.vocab_size)
+            ce = CrossEncoder(ce_cfg, ce_params, ce_tok)
+        else:
+            ce = CrossEncoder(
+                encoder_cfg,
+                init_cross_encoder(encoder_cfg, jax.random.key(1)),
+                tokenizer)
         cross_encoder_predict = ce.predict
 
     query_variation_fn = None

@@ -136,34 +136,18 @@ def import_sentence_encoder_params(
     return {"encoder": import_bert_params(state_dict, cfg)}
 
 
-def load_hf_checkpoint_dir(ckpt_dir: str):
-    """Load a local sentence-transformers / HF checkpoint DIRECTORY
-    (e.g. a clone of ``sentence-transformers/all-MiniLM-L6-v2``, the
-    reference's default at training/main.py:242) into
-    (EncoderConfig, params pytree, vocab path or None).
-
-    Resolution (no network):
-    - weights: ``model.safetensors`` or ``pytorch_model.bin`` at the root or
-      under a ``0_*``-style module subdirectory;
-    - architecture: ``config.json`` (model_type bert/mpnet, hidden sizes);
-    - ``sentence_bert_config.json`` → max_seq_length when present;
-    - ``1_Pooling/config.json`` → pooling mode when present;
-    - ``vocab.txt`` → WordPiece vocab for the tokenizer.
-
-    This is the weights-present path of the parity harness (PARITY_RUNBOOK.md):
-    set ``QST_HF_CHECKPOINT_DIR`` or pass ``--hf_checkpoint_dir`` and the
-    train/ir-eval CLIs call through here.
-    """
+def _resolve_checkpoint_files(ckpt_dir: str):
+    """→ (weights path, parsed trunk config.json, finder fn). Weights may
+    live at the root or under a ``0_*``-style module subdirectory; the
+    trunk's config.json sits NEXT TO the weights (never 1_Pooling's)."""
     import glob
     import json
     import os
 
-    from qst_tpu.core.config import EncoderConfig
-
     if not os.path.isdir(ckpt_dir):
         raise FileNotFoundError(f"checkpoint dir not found: {ckpt_dir}")
 
-    def _find(name: str):
+    def find(name: str):
         cands = [os.path.join(ckpt_dir, name)]
         cands += sorted(glob.glob(os.path.join(ckpt_dir, "*", name)))
         for c in cands:
@@ -171,17 +155,20 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
                 return c
         return None
 
-    weights = _find("model.safetensors") or _find("pytorch_model.bin")
+    weights = find("model.safetensors") or find("pytorch_model.bin")
     if weights is None:
         raise FileNotFoundError(
             f"no model.safetensors / pytorch_model.bin under {ckpt_dir}")
-    # the trunk's config.json lives next to its weights (never pick up
-    # 1_Pooling/config.json here)
     cfg_path = os.path.join(os.path.dirname(weights), "config.json")
     if not os.path.isfile(cfg_path):
         raise FileNotFoundError(f"no config.json next to {weights}")
     with open(cfg_path) as f:
         hf_cfg = json.load(f)
+    return weights, hf_cfg, find
+
+
+def _encoder_cfg_kwargs(ckpt_dir: str, hf_cfg: dict) -> dict:
+    import os
 
     model_type = hf_cfg.get("model_type", "bert")
     if model_type not in ("bert", "mpnet", "roberta"):
@@ -203,6 +190,61 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
         kw["type_vocab_size"] = int(hf_cfg.get("type_vocab_size", 2))
     elif model_type == "roberta":
         kw["type_vocab_size"] = int(hf_cfg.get("type_vocab_size", 1))
+    return kw
+
+
+def _vocab_path(find) -> "str | None":
+    vocab_path = find("vocab.txt")
+    if vocab_path is None:
+        # byte-level BPE checkpoints (roberta family): vocab.json +
+        # merges.txt — load_tokenizer dispatches on the .json suffix
+        vocab_path = find("vocab.json")
+    return vocab_path
+
+
+def load_cross_encoder_dir(ckpt_dir: str,
+                           max_seq_length: "int | None" = None):
+    """Load a local HF ``*ForSequenceClassification`` checkpoint DIRECTORY
+    (num_labels=1) — the layout of sentence-transformers CrossEncoder
+    checkpoints like the reference's ``cross-encoder/stsb-roberta-large``
+    (reference models/evaluators.py:31) — into
+    (EncoderConfig, CrossEncoderModule params, vocab path or None)."""
+    from qst_tpu.core.config import EncoderConfig
+
+    weights, hf_cfg, find = _resolve_checkpoint_files(ckpt_dir)
+    kw = _encoder_cfg_kwargs(ckpt_dir, hf_cfg)
+    if max_seq_length is not None:
+        kw["max_seq_length"] = int(max_seq_length)
+    cfg = EncoderConfig(**kw)
+    params = import_cross_encoder_params(load_torch_state_dict(weights), cfg)
+    return cfg, params, _vocab_path(find)
+
+
+def load_hf_checkpoint_dir(ckpt_dir: str):
+    """Load a local sentence-transformers / HF checkpoint DIRECTORY
+    (e.g. a clone of ``sentence-transformers/all-MiniLM-L6-v2``, the
+    reference's default at training/main.py:242) into
+    (EncoderConfig, params pytree, vocab path or None).
+
+    Resolution (no network):
+    - weights: ``model.safetensors`` or ``pytorch_model.bin`` at the root or
+      under a ``0_*``-style module subdirectory;
+    - architecture: ``config.json`` (model_type bert/roberta/mpnet);
+    - ``sentence_bert_config.json`` → max_seq_length when present;
+    - ``1_Pooling/config.json`` → pooling mode when present;
+    - ``vocab.txt`` (WordPiece) or ``vocab.json`` (byte-level BPE) → tokenizer.
+
+    This is the weights-present path of the parity harness (PARITY_RUNBOOK.md):
+    set ``QST_HF_CHECKPOINT_DIR`` or pass ``--hf_checkpoint_dir`` and the
+    train/ir-eval CLIs call through here.
+    """
+    import json
+    import os
+
+    from qst_tpu.core.config import EncoderConfig
+
+    weights, hf_cfg, _find = _resolve_checkpoint_files(ckpt_dir)
+    kw = _encoder_cfg_kwargs(ckpt_dir, hf_cfg)
 
     sbert_cfg = _find("sentence_bert_config.json")
     if sbert_cfg:
@@ -224,12 +266,7 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
     cfg = EncoderConfig(**kw)
     params = import_sentence_encoder_params(
         load_torch_state_dict(weights), cfg)
-    vocab_path = _find("vocab.txt")
-    if vocab_path is None:
-        # byte-level BPE checkpoints (roberta family): vocab.json +
-        # merges.txt — load_tokenizer dispatches on the .json suffix
-        vocab_path = _find("vocab.json")
-    return cfg, params, vocab_path
+    return cfg, params, _vocab_path(_find)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -221,3 +221,60 @@ def test_cross_encoder_predict_with_bpe(tmp_path):
                          ("hello", "hello")], batch_size=4)
     assert scores.shape == (2,)
     assert np.all((scores >= 0) & (scores <= 1))
+
+
+def test_load_cross_encoder_dir_end_to_end(tmp_path):
+    """A synthesized stsb-roberta-large-layout checkpoint dir (config +
+    *ForSequenceClassification weights + BPE vocab) loads into a working
+    CrossEncoder whose sigmoid scores match an independent torch forward —
+    the executable form of the runbook's --use_cross_encoder section."""
+    torch = pytest.importorskip("torch")
+    from transformers import RobertaConfig, RobertaForSequenceClassification
+
+    from qst_tpu.models.cross_encoder import CrossEncoder
+    from qst_tpu.models.hf_import import load_cross_encoder_dir
+    from qst_tpu.models.tokenizer import load_tokenizer
+
+    d = str(tmp_path / "ce")
+    os.makedirs(d)
+    vp, _ = _tiny_bpe_files(d)
+    tok_probe = load_tokenizer(vp)
+    hf_cfg = _tiny_roberta_cfg()
+    hf_cfg["vocab_size"] = len(tok_probe.vocab)
+    torch.manual_seed(9)
+    hf = RobertaForSequenceClassification(
+        RobertaConfig(num_labels=1, **hf_cfg)).eval()
+    torch.save(hf.state_dict(), os.path.join(d, "pytorch_model.bin"))
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"model_type": "roberta",
+                   "vocab_size": hf_cfg["vocab_size"],
+                   "hidden_size": hf_cfg["hidden_size"],
+                   "num_hidden_layers": hf_cfg["num_hidden_layers"],
+                   "num_attention_heads": hf_cfg["num_attention_heads"],
+                   "intermediate_size": hf_cfg["intermediate_size"],
+                   "max_position_embeddings":
+                       hf_cfg["max_position_embeddings"],
+                   "type_vocab_size": 1,
+                   "layer_norm_eps": 1e-5, "pad_token_id": 1}, f)
+
+    import dataclasses
+
+    cfg, params, vocab_path = load_cross_encoder_dir(d, max_seq_length=16)
+    cfg = dataclasses.replace(cfg, dtype="float32", hidden_dropout=0.0,
+                              attention_dropout=0.0)
+    assert cfg.arch == "roberta" and vocab_path.endswith("vocab.json")
+    ce = CrossEncoder(cfg, params, load_tokenizer(vocab_path))
+    pairs = [("hello world", "world hello"), ("hello", "hello world")]
+    ours = ce.predict(pairs, batch_size=4)
+
+    # independent torch pipeline over the same pairs
+    from transformers import RobertaTokenizer
+
+    hf_tok = RobertaTokenizer(vocab_file=vocab_path,
+                              merges_file=os.path.join(d, "merges.txt"))
+    enc = hf_tok([p[0] for p in pairs], [p[1] for p in pairs],
+                 padding="max_length", max_length=16, truncation=True,
+                 return_tensors="pt")
+    with torch.no_grad():
+        want = torch.sigmoid(hf(**enc).logits.squeeze(-1)).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
