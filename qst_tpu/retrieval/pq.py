@@ -230,6 +230,42 @@ def pq_topk(queries: jax.Array, codes: jax.Array, codebooks: jax.Array,
     return cs, ci
 
 
+@functools.partial(jax.jit, static_argnames=("k", "decode", "interpret"))
+def _pq_super_tile_topk(queries, codes_slice, codebooks, n_local, base,
+                        k: int, decode: str, interpret: bool):
+    """One super-tile of the fused-path PQ search: decode the slice to a
+    bf16 reconstruction (inner lax.map bounds the one-hot transient to
+    PQ_TILE rows), then run the fused Pallas exact pipeline over it
+    (bucket-maxima kernel + hierarchical selection + dynamic-DMA rescore —
+    the scores never visit HBM, unlike the XLA scan's (Q, tile) blocks).
+    → (scores (Q, k), GLOBAL ids (Q, k))."""
+    from qst_tpu.ops.topk_pallas import pallas_topk_local
+
+    rows, m = codes_slice.shape
+    cd = _compute_dtype()
+    cb = codebooks.astype(cd)
+    q = l2_normalize(queries.astype(jnp.float32)).astype(cd)
+    DC = min(PQ_TILE, rows)
+    sub = codes_slice.reshape(rows // DC, DC, m)
+    recon = jax.lax.map(
+        lambda c: _DECODERS[decode](c, cb).reshape(DC, -1), sub)
+    recon = recon.reshape(rows, -1)
+    s, i = pallas_topk_local(q, recon, k, n_local, interpret=interpret)
+    return s, jnp.where(i >= 0, i + base, i)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk(cs, ci, s, i, k: int):
+    s2, pos = jax.lax.top_k(jnp.concatenate([cs, s], axis=1), k)
+    return s2, jnp.take_along_axis(jnp.concatenate([ci, i], axis=1), pos,
+                                   axis=1)
+
+
+# fused-path super-tile: 2M rows decode to a 1.5 GB bf16 reconstruction
+# transient at D=384 — two may be in flight under async dispatch
+PQ_SUPER_TILE = 1 << 21
+
+
 def _sharded_pq_search_fn(mesh: Mesh, k: int, shard_rows: int, decode: str):
     """shard_map search over a doc-sharded code matrix: replicated queries,
     per-shard PQ scan, all-gather candidate merge (identical results to the
@@ -587,6 +623,8 @@ class PQIndex:
         if decode not in _DECODERS:
             raise ValueError(f"unknown decode {decode!r}; "
                              f"choices: {sorted(_DECODERS)}")
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
         k = min(k, self.n_docs)
         q = jnp.asarray(queries, jnp.float32)
         if self._rotation is not None:
@@ -594,6 +632,10 @@ class PQIndex:
             # normalize, so pq_topk's internal normalization stays correct
             q = q @ self._rotation
         n_real = jnp.full((1,), self.n_docs, jnp.int32)
+        use_pallas = (backend == "pallas"
+                      or (backend == "auto" and self._pallas_eligible(k)))
+        if use_pallas and self.mesh is None:
+            return self._pallas_search(q, k, decode)
         if self.mesh is not None:
             key = (k, decode)
             if key not in self._search_fns:
@@ -604,12 +646,39 @@ class PQIndex:
         return pq_topk(q, self.codes, self.codebooks, n_real, k,
                        decode=decode)
 
+    PALLAS_MIN_DOCS = 65536   # below this the XLA scan's single tile wins
+
+    def _pallas_eligible(self, k: int) -> bool:
+        return (k <= 128 and self.mesh is None
+                and self.n_docs >= self.PALLAS_MIN_DOCS
+                and jax.default_backend() != "cpu")
+
+    def _pallas_search(self, q, k: int, decode: str):
+        """Fused-path search: decode PQ_SUPER_TILE-row slices to bf16 on
+        device and run the fused Pallas exact pipeline per slice, merging
+        the (Q, k) winners exactly across slices (all dispatches async —
+        slice N+1's decode overlaps slice N's selection)."""
+        interpret = jax.default_backend() == "cpu"
+        n_pad = self.codes.shape[0]
+        Q = q.shape[0]
+        cs = jnp.full((Q, k), -jnp.inf, jnp.float32)
+        ci = jnp.full((Q, k), -1, jnp.int32)
+        for lo in range(0, n_pad, PQ_SUPER_TILE):
+            hi = min(lo + PQ_SUPER_TILE, n_pad)
+            n_local = jnp.clip(jnp.int32(self.n_docs) - lo, 0, hi - lo)
+            s, i = _pq_super_tile_topk(
+                q, jax.lax.slice_in_dim(self.codes, lo, hi),
+                self.codebooks, n_local, jnp.int32(lo), k, decode,
+                interpret)
+            cs, ci = _merge_topk(cs, ci, s, i, k)
+        return cs, ci
+
     DEFAULT_REFINE = 8
 
     def search(self, queries, k: int = 10,
                refine_factor: Optional[int] = None,
-               decode: str = "onehot", score: str = "cos_sim"
-               ) -> Tuple[np.ndarray, np.ndarray]:
+               decode: str = "onehot", score: str = "cos_sim",
+               backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
         """→ (scores (Q, k), indices (Q, k)). ``refine_factor=r`` re-ranks
         the top r·k PQ candidates exactly from the host-resident originals
         (requires ``keep_rows=True``); scores are then exact cosines.
@@ -627,7 +696,8 @@ class PQIndex:
                 raise ValueError(
                     "refine_factor needs keep_rows=True at build time")
             kk = min(k * refine_factor, self.n_docs)
-            s, i = self._device_search(queries, kk, score, decode=decode)
+            s, i = self._device_search(queries, kk, score, decode=decode,
+                                       backend=backend)
             idx = np.asarray(i)
             cand = self._refine_rows[np.clip(idx, 0, self.n_docs - 1)]
             return fetch_pair(*_refine_rescore(
@@ -635,7 +705,8 @@ class PQIndex:
                 jnp.asarray(idx), min(k, self.n_docs),
                 jnp.float32(1.0 / self._refine_scale)))
         return fetch_pair(*self._device_search(queries, k, score,
-                                               decode=decode))
+                                               decode=decode,
+                                               backend=backend))
 
     def search_ids(self, queries, k: int = 10,
                    refine_factor: Optional[int] = None,

@@ -417,3 +417,33 @@ def test_memmap_refine_rows(data, tmp_path):
     s2, i2 = disk.search(queries, k=10, refine_factor=8)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_backend_matches_xla(data):
+    """The fused-path backend (decode → pallas_topk_local per super-tile,
+    interpret-mode kernels on CPU) returns the XLA scan's results."""
+    corpus, queries = data
+    idx = PQIndex(corpus, m=8, n_iters=6)
+    s_x, i_x = idx.search(queries, k=10, backend="xla")
+    s_p, i_p = idx.search(queries, k=10, backend="pallas")
+    np.testing.assert_array_equal(i_p, i_x)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="unknown backend"):
+        idx.search(queries, k=3, backend="magic")
+
+
+def test_pallas_backend_multi_super_tile(data, monkeypatch):
+    """Force several super-tiles so the cross-tile merge path runs."""
+    import qst_tpu.retrieval.pq as pq_mod
+
+    corpus, queries = data
+    big = np.concatenate([corpus] * 12)[: 2 * PQ_TILE + 100]
+    rng = np.random.default_rng(5)
+    big = big + 1e-3 * rng.standard_normal(big.shape).astype(np.float32)
+    idx = PQIndex(big, m=8, n_iters=4, train_sample=2048)
+    monkeypatch.setattr(pq_mod, "PQ_SUPER_TILE", PQ_TILE)
+    s_p, i_p = idx.search(queries, k=7, backend="pallas")
+    s_x, i_x = idx.search(queries, k=7, backend="xla")
+    np.testing.assert_array_equal(i_p, i_x)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-5, atol=1e-6)
