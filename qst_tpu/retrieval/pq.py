@@ -266,10 +266,16 @@ def _merge_topk(cs, ci, s, i, k: int):
 PQ_SUPER_TILE = 1 << 21
 
 
-def _sharded_pq_search_fn(mesh: Mesh, k: int, shard_rows: int, decode: str):
+def _sharded_pq_search_fn(mesh: Mesh, k: int, shard_rows: int, decode: str,
+                          pallas: bool = False, interpret: bool = False):
     """shard_map search over a doc-sharded code matrix: replicated queries,
-    per-shard PQ scan, all-gather candidate merge (identical results to the
-    single-device scan — same pattern as ``index._sharded_search_fn``)."""
+    per-shard PQ search, all-gather candidate merge (identical results to
+    the single-device paths — same pattern as ``index._sharded_search_fn``).
+
+    ``pallas=True`` runs the FUSED path per shard (decode super-tiles →
+    ``pallas_topk_local`` → exact in-shard merge) instead of the XLA scan —
+    the same one-fused-path-from-1-chip-to-a-pod-slice story as the exact
+    index; ``interpret`` runs the kernels interpreted (CPU-mesh tests)."""
     axes = (DATA_AXIS, MODEL_AXIS)
 
     def body(q, codes_shard, codebooks, n_real):
@@ -277,8 +283,21 @@ def _sharded_pq_search_fn(mesh: Mesh, k: int, shard_rows: int, decode: str):
 
         base = flat_shard_index(axes) * shard_rows
         n_local = jnp.clip(n_real - base, 0, shard_rows)
-        s1, i1 = pq_topk(q, codes_shard, codebooks, n_local, k,
-                         decode=decode, base=base)
+        if pallas:
+            Q = q.shape[0]
+            cs = jnp.full((Q, k), -jnp.inf, jnp.float32)
+            ci = jnp.full((Q, k), -1, jnp.int32)
+            for lo in range(0, shard_rows, PQ_SUPER_TILE):
+                hi = min(lo + PQ_SUPER_TILE, shard_rows)
+                tile_n = jnp.clip(n_local - lo, 0, hi - lo)
+                s, i = _pq_super_tile_topk(
+                    q, jax.lax.slice_in_dim(codes_shard, lo, hi),
+                    codebooks, tile_n, base + lo, k, decode, interpret)
+                cs, ci = _merge_topk(cs, ci, s, i, k)
+            s1, i1 = cs, ci
+        else:
+            s1, i1 = pq_topk(q, codes_shard, codebooks, n_local, k,
+                             decode=decode, base=base)
         all_s = jax.lax.all_gather(s1, axes, axis=1, tiled=True)
         all_i = jax.lax.all_gather(i1, axes, axis=1, tiled=True)
         s2, pos = jax.lax.top_k(all_s, k)
@@ -637,20 +656,26 @@ class PQIndex:
         if use_pallas and self.mesh is None:
             return self._pallas_search(q, k, decode)
         if self.mesh is not None:
-            key = (k, decode)
+            interpret = jax.default_backend() == "cpu"
+            key = (k, decode, use_pallas, interpret)
             if key not in self._search_fns:
                 self._search_fns[key] = _sharded_pq_search_fn(
-                    self.mesh, k, self.shard_rows, decode)
+                    self.mesh, k, self.shard_rows, decode,
+                    pallas=use_pallas, interpret=interpret)
             return self._search_fns[key](q, self.codes, self.codebooks,
                                          n_real)
         return pq_topk(q, self.codes, self.codebooks, n_real, k,
                        decode=decode)
 
-    PALLAS_MIN_DOCS = 65536   # below this the XLA scan's single tile wins
+    PALLAS_MIN_DOCS = 65536        # below this the XLA scan wins
+    PALLAS_MIN_SHARD_DOCS = 16384  # per-shard threshold (as ExactIndex)
 
     def _pallas_eligible(self, k: int) -> bool:
-        return (k <= 128 and self.mesh is None
-                and self.n_docs >= self.PALLAS_MIN_DOCS
+        if self.mesh is None:
+            big_enough = self.n_docs >= self.PALLAS_MIN_DOCS
+        else:
+            big_enough = self.shard_rows >= self.PALLAS_MIN_SHARD_DOCS
+        return (k <= 128 and big_enough
                 and jax.default_backend() != "cpu")
 
     def _pallas_search(self, q, k: int, decode: str):

@@ -447,3 +447,15 @@ def test_pallas_backend_multi_super_tile(data, monkeypatch):
     s_x, i_x = idx.search(queries, k=7, backend="xla")
     np.testing.assert_array_equal(i_p, i_x)
     np.testing.assert_allclose(s_p, s_x, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_pallas_backend_matches_xla(data):
+    """The fused path per shard under shard_map (interpret-mode kernels on
+    the CPU mesh) must agree with the sharded XLA scan."""
+    corpus, queries = data
+    mesh = make_mesh()
+    idx = PQIndex(corpus, m=8, n_iters=6, mesh=mesh)
+    s_x, i_x = idx.search(queries, k=10, backend="xla")
+    s_p, i_p = idx.search(queries, k=10, backend="pallas")
+    np.testing.assert_array_equal(i_p, i_x)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-5, atol=1e-6)
