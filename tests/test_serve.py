@@ -355,3 +355,31 @@ def test_server_stats_endpoint(server):
     b = st["batchers"]["search"]
     assert b["batches"] >= 1 and b["items"] >= 1 and b["errors"] == 0
     assert b["mean_batch"] > 0 and b["max_batch"] >= 1
+
+
+def test_server_over_pq_and_ivf_indexes():
+    """The HTTP stack serves every index family: PQ (refined scores) and
+    IVF (probed cells) behind the same /search contract."""
+    import urllib.request
+
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    docs = [f"{topics[i % 5]} doc number {i}" for i in range(400)]
+
+    for dtype, kwargs in (("pq", {"pq_m": 16}),
+                          ("ivf", {"ivf_clusters": 16, "ivf_probe": 4})):
+        r = Retriever(MockEncoder(), index_dtype=dtype, **kwargs).build(docs)
+        server = RetrievalServer(r, max_batch=16, max_wait_s=0.002)
+        port = server.start()
+        try:
+            body = json.dumps({"queries": ["a cat rests"], "k": 3,
+                               "return_texts": True}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                payload = json.loads(resp.read())
+            rows = payload["results"][0]
+            assert 1 <= len(rows) <= 3
+            assert rows[0][2].startswith("cat"), (dtype, rows)
+        finally:
+            server.stop()
