@@ -90,7 +90,7 @@ def run_default(args):
         exact = ExactIndex(corpus, normalize=True, dtype="bfloat16")
         t0 = time.perf_counter()
         pq = PQIndex(corpus, m=args.m, keep_rows=True,
-                     encode_chunk=1 << 16)
+                     encode_chunk=1 << 16, anisotropic=args.anisotropic)
         t_build = time.perf_counter() - t0
         print(f"[{dist}] PQ build {n:,}x{d} m={args.m}: {t_build:.1f}s "
               f"(codes {pq.codes.nbytes/1e9:.2f} GB vs bf16 "
@@ -188,6 +188,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dist", default="both",
                     choices=["both", "structured", "iid-normal"])
+    ap.add_argument("--anisotropic", type=float, default=0.0,
+                    help="score-aware training weight eta (see pq_train)")
     args = ap.parse_args()
     (run_capacity if args.capacity else run_default)(args)
 

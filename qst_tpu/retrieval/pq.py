@@ -66,18 +66,46 @@ def random_rotation(d: int, seed: int = 0) -> jax.Array:
     return q * jnp.sign(jnp.diagonal(r))[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n_iters"))
+def _aniso_fit(xs: jax.Array, cb: jax.Array, eta: float) -> jax.Array:
+    """Negated per-(point, centroid) assignment loss, batched over
+    subspaces: classic −‖v−c‖² plus, for eta > 0, the score-aware
+    penalty −eta·(vᵀ(v−c))² that weights reconstruction error ALONG the
+    datapoint direction (the component that moves dot-product scores;
+    the ScaNN anisotropic-loss idea applied per subspace, with each
+    subvector's own magnitude as its weight). Both terms come from the
+    same MXU dots. xs (m, S, ds) or (S, m, ds) with matching einsum —
+    callers pass (m, S, ds)."""
+    dots = jnp.einsum("msd,mkd->msk", xs, cb,
+                      preferred_element_type=jnp.float32)   # v·c
+    cc = jnp.sum(cb * cb, axis=-1)[:, None, :]              # ‖c‖²
+    vv = jnp.sum(xs * xs, axis=-1)[:, :, None]              # ‖v‖²
+    fit = dots - 0.5 * cc                                   # −½‖v−c‖² + const
+    if eta > 0.0:
+        # (vᵀ(v−c))² = (‖v‖² − v·c)²
+        fit = fit - 0.5 * eta * (vv - dots) ** 2
+    return fit
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_iters", "eta"))
 def pq_train(sample: jax.Array, key: jax.Array, m: int,
-             n_iters: int = 12) -> jax.Array:
+             n_iters: int = 12, eta: float = 0.0) -> jax.Array:
     """Train per-subspace codebooks on a (unit-normalized) sample.
 
     → (m, 256, ds) float32. Each subspace runs an independent 256-way
-    Euclidean Lloyd's k-means (the PQ objective: minimize per-subvector
+    Lloyd's k-means (the PQ objective: minimize per-subvector
     reconstruction MSE, which maximizes dot-product fidelity of the
     reconstruction). vmapped over subspaces: assignment is one batched
     (S, ds)×(ds, 256) matmul per iteration; update one (256, S)×(S, ds).
     Empty clusters keep their previous centroid (same policy as
     :func:`qst_tpu.retrieval.ivf.kmeans`).
+
+    ``eta > 0`` trains SCORE-AWARE (anisotropic) codebooks: the
+    assignment minimizes ‖v−c‖² + eta·(vᵀ(v−c))² and the centroid update
+    solves the corresponding per-cluster weighted least squares
+    ([n I + eta Σ v vᵀ] c = Σ v + eta Σ v ‖v‖², a (ds, ds) solve per
+    (subspace, cluster)) — reconstruction error parallel to the
+    datapoint, which is what shifts dot-product rankings, is penalized
+    (1+eta)× relative to orthogonal error.
     """
     s, d = sample.shape
     ds = d // m
@@ -87,35 +115,47 @@ def pq_train(sample: jax.Array, key: jax.Array, m: int,
     cb0 = xs[:, init_idx, :]                                # (m, 256, ds)
 
     def step(cb, _):
-        # argmin ||x−c||² == argmax (x·c − ||c||²/2); batched over m
-        dots = jnp.einsum("msd,mkd->msk", xs, cb,
-                          preferred_element_type=jnp.float32)
-        fit = dots - 0.5 * jnp.sum(cb * cb, axis=-1)[:, None, :]
-        assign = jnp.argmax(fit, axis=-1)                   # (m, S)
+        assign = jnp.argmax(_aniso_fit(xs, cb, eta), axis=-1)   # (m, S)
         onehot = jax.nn.one_hot(assign, K_CENTROIDS, dtype=jnp.float32)
         sums = jnp.einsum("msk,msd->mkd", onehot, xs,
                           preferred_element_type=jnp.float32)
-        counts = jnp.sum(onehot, axis=1)[:, :, None]        # (m, 256, 1)
-        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), cb), None
+        counts = jnp.sum(onehot, axis=1)                    # (m, 256)
+        if eta == 0.0:
+            new = sums / jnp.maximum(counts[:, :, None], 1)
+        else:
+            # weighted LS per (subspace, cluster): A c = b with
+            # A = n I + eta Σ v vᵀ, b = Σ v (1 + eta ‖v‖²)
+            vv = jnp.sum(xs * xs, axis=-1)                  # (m, S)
+            A = (jnp.einsum("msk,msd,mse->mkde", onehot, xs, xs,
+                            preferred_element_type=jnp.float32) * eta
+                 + counts[:, :, None, None]
+                 * jnp.eye(ds, dtype=jnp.float32))
+            b = sums + eta * jnp.einsum(
+                "msk,ms,msd->mkd", onehot, vv, xs,
+                preferred_element_type=jnp.float32)
+            # regularize empty/degenerate clusters; keep previous centroid
+            A = A + 1e-6 * jnp.eye(ds, dtype=jnp.float32)
+            new = jnp.linalg.solve(A, b[..., None])[..., 0]
+        return jnp.where(counts[:, :, None] > 0, new, cb), None
 
     cb, _ = jax.lax.scan(step, cb0, None, length=n_iters)
     return cb
 
 
-@jax.jit
-def pq_encode(chunk: jax.Array, codebooks: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("eta",))
+def pq_encode(chunk: jax.Array, codebooks: jax.Array,
+              eta: float = 0.0) -> jax.Array:
     """Encode one corpus chunk → (B, m) uint8 codes.
 
     The chunk is unit-normalized first (the index's storage contract);
-    assignment is one batched MXU matmul + argmax per subspace.
+    assignment is one batched MXU matmul + argmax per subspace. ``eta``
+    must match the training objective (see :func:`pq_train`).
     """
     m, _, ds = codebooks.shape
     x = l2_normalize(chunk.astype(jnp.float32))
-    xs = x.reshape(x.shape[0], m, ds)
-    dots = jnp.einsum("bmd,mkd->bmk", xs, codebooks,
-                      preferred_element_type=jnp.float32)
-    fit = dots - 0.5 * jnp.sum(codebooks * codebooks, axis=-1)[None]
-    return jnp.argmax(fit, axis=-1).astype(jnp.uint8)
+    xs = jnp.transpose(x.reshape(x.shape[0], m, ds), (1, 0, 2))
+    fit = _aniso_fit(xs, codebooks, eta)                    # (m, B, K)
+    return jnp.argmax(fit, axis=-1).T.astype(jnp.uint8)
 
 
 def _compute_dtype() -> jnp.dtype:
@@ -349,12 +389,16 @@ class PQIndex:
                  keep_rows=False, encode_chunk: int = 1 << 16,
                  codebooks: Optional[jax.Array] = None,
                  rotate: bool = False,
-                 rotation: Optional[jax.Array] = None):
+                 rotation: Optional[jax.Array] = None,
+                 anisotropic: float = 0.0):
         # encode_chunk bounds pq_encode's (B, m, 256) f32 fit transient
         # (~3.2 GB at the default 65536 rows, m=48)
         # rotate=True (the cheap OPQ, see random_rotation) quantizes in a
         # rotated basis; refine rows and refined scores stay in the
         # ORIGINAL basis (rotation is orthogonal, cosines are unchanged)
+        # anisotropic=eta > 0 trains/encodes with the score-aware loss
+        # (see pq_train) — reconstruction error along the datapoint is
+        # penalized (1+eta)x, trading MSE for dot-product ranking recall
         emb = embeddings if isinstance(embeddings, jax.Array) \
             else np.asarray(embeddings)
         n, d = emb.shape
@@ -367,6 +411,9 @@ class PQIndex:
             # tile the VPU lanes; keep m a sublane multiple
             raise ValueError(f"m must be a multiple of 8, got {m}")
         self.m, self.dim, self.n_docs = m, d, n
+        if anisotropic < 0:
+            raise ValueError(f"anisotropic must be >= 0, got {anisotropic}")
+        self._eta = float(anisotropic)
         self.ids = list(ids) if ids is not None else list(range(n))
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
@@ -402,7 +449,8 @@ class PQIndex:
                 sample = jnp.asarray(emb)
             if self._rotation is not None:
                 sample = jnp.asarray(sample, jnp.float32) @ self._rotation
-            self.codebooks = pq_train(sample, key, m, n_iters)
+            self.codebooks = pq_train(sample, key, m, n_iters,
+                                      eta=self._eta)
 
         # chunked encode with a 2-deep pipeline (same overlap pattern as the
         # IVF assignment loop): only the (N, m) uint8 code table accumulates
@@ -437,7 +485,7 @@ class PQIndex:
             chunk = jnp.asarray(emb[lo:hi])
             enc_in = chunk if self._rotation is None \
                 else chunk.astype(jnp.float32) @ self._rotation
-            codes_dev = pq_encode(enc_in, self.codebooks)
+            codes_dev = pq_encode(enc_in, self.codebooks, eta=self._eta)
             rows_dev = None
             if keep_rows == "int8":
                 norm = l2_normalize(chunk.astype(jnp.float32))
@@ -480,7 +528,8 @@ class PQIndex:
     def from_chunks(cls, chunks, m: int = 48, ids: Optional[list] = None,
                     mesh: Optional[Mesh] = None, n_iters: int = 12,
                     train_sample: int = 131072, seed: int = 0,
-                    rotate: bool = False) -> "PQIndex":
+                    rotate: bool = False,
+                    anisotropic: float = 0.0) -> "PQIndex":
         """Build from an ITERABLE of (B, D) host chunks — the corpus never
         needs to exist as one array, so the in-HBM code capacity (~m bytes
         per doc) is reachable even when the full f32 corpus would not fit
@@ -510,7 +559,8 @@ class PQIndex:
         rot = random_rotation(d, seed) if rotate else None
         train_in = jnp.asarray(sample) if rot is None \
             else jnp.asarray(sample) @ rot
-        codebooks = pq_train(train_in, jax.random.key(seed), m, n_iters)
+        codebooks = pq_train(train_in, jax.random.key(seed), m, n_iters,
+                             eta=anisotropic)
 
         code_parts: List[np.ndarray] = []
         pending: List[jax.Array] = []
@@ -520,7 +570,7 @@ class PQIndex:
             x = jnp.asarray(chunk, jnp.float32)
             if rot is not None:
                 x = x @ rot
-            pending.append(pq_encode(x, codebooks))
+            pending.append(pq_encode(x, codebooks, eta=anisotropic))
             if len(pending) >= 2:     # 2-deep overlap, as in __init__
                 code_parts.append(np.asarray(pending.pop(0)))
         code_parts.extend(np.asarray(p) for p in pending)
@@ -531,6 +581,7 @@ class PQIndex:
         self.m, self.dim, self.n_docs = m, d, n
         self.codebooks = codebooks
         self._rotation = rot
+        self._eta = float(anisotropic)
         self.ids = list(ids) if ids is not None else list(range(n))
         if len(self.ids) != n:
             raise ValueError("ids length mismatch")
@@ -568,6 +619,7 @@ class PQIndex:
                              f"codes with m={m}")
         self.m, self.dim, self.n_docs = m, m * cb.shape[2], n
         self.codebooks = cb
+        self._eta = 0.0   # search is eta-free; matters only for re-encoding
         self._rotation = None
         if rotation is not None:
             self._rotation = jnp.asarray(rotation, jnp.float32)
@@ -624,7 +676,7 @@ class PQIndex:
         x = l2_normalize(jnp.asarray(sample, jnp.float32))
         if self._rotation is not None:
             x = x @ self._rotation
-        codes = pq_encode(x, self.codebooks)
+        codes = pq_encode(x, self.codebooks, eta=self._eta)
         recon = _decode_onehot(codes, self.codebooks.astype(_compute_dtype()))
         recon = recon.reshape(x.shape[0], -1).astype(jnp.float32)
         return float(jnp.mean((x - recon) ** 2))

@@ -459,3 +459,56 @@ def test_sharded_pallas_backend_matches_xla(data):
     s_p, i_p = idx.search(queries, k=10, backend="pallas")
     np.testing.assert_array_equal(i_p, i_x)
     np.testing.assert_allclose(s_p, s_x, rtol=1e-5, atol=1e-6)
+
+
+def test_anisotropic_training(data):
+    """eta > 0 trains score-aware codebooks: reconstruction error ALONG
+    the datapoint (the component that moves dot-product scores) drops
+    relative to classic training, and the anisotropic assignment matches
+    its numpy golden."""
+    from qst_tpu.retrieval.pq import pq_encode
+
+    corpus, queries = data
+    classic = PQIndex(corpus, m=8, n_iters=8, seed=2)
+    aniso = PQIndex(corpus, m=8, n_iters=8, seed=2, anisotropic=4.0)
+    assert aniso._eta == 4.0
+
+    def parallel_err(idx):
+        cb = np.asarray(idx.codebooks)
+        codes = np.asarray(pq_encode(jnp.asarray(corpus), idx.codebooks,
+                                     eta=idx._eta))
+        m, _, ds = cb.shape
+        x = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        xs = x.reshape(len(x), m, ds)
+        recon = np.take_along_axis(
+            cb[None], codes[:, :, None, None], axis=2).squeeze(2)
+        # per-subspace parallel component of the error
+        return float(np.mean(np.sum(xs * (xs - recon), axis=2) ** 2))
+
+    assert parallel_err(aniso) < parallel_err(classic)
+
+    # numpy golden of the anisotropic assignment rule
+    cb = np.asarray(aniso.codebooks)
+    m, K, ds = cb.shape
+    x = corpus[:50] / np.linalg.norm(corpus[:50], axis=1, keepdims=True)
+    xs = x.reshape(50, m, ds)
+    dots = np.einsum("bmd,mkd->bmk", xs, cb)
+    vv = np.sum(xs * xs, axis=2)[:, :, None]
+    cc = np.sum(cb * cb, axis=2)[None]
+    fit = dots - 0.5 * cc - 0.5 * 4.0 * (vv - dots) ** 2
+    golden = np.argmax(fit, axis=2)
+    got = np.asarray(pq_encode(jnp.asarray(corpus[:50]), aniso.codebooks,
+                               eta=4.0))
+    # compare achieved fit (ties legal)
+    np.testing.assert_allclose(
+        np.take_along_axis(fit, got[:, :, None].astype(np.int64),
+                           axis=2).squeeze(2),
+        np.take_along_axis(fit, golden[:, :, None], axis=2).squeeze(2),
+        rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="anisotropic"):
+        PQIndex(corpus, m=8, anisotropic=-1.0)
+
+    # search works over the anisotropic index
+    s, i = aniso.search(queries, k=5)
+    assert i.shape == (len(queries), 5)
