@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
     add_bool_flag(p, "use_pos_examples", True)
     add_bool_flag(p, "use_part_pos_examples", True)
     add_bool_flag(p, "use_cross_encoder", False)
+    p.add_argument("--eval_index", default="exact",
+                   choices=["exact", "ivf", "pq"],
+                   help="index family the evaluator searches with — ivf/pq "
+                   "measure the approximate index's recall cost directly "
+                   "on the full IR metric grid (cos/dot score functions "
+                   "only)")
+    p.add_argument("--eval_ivf_clusters", type=int, default=256)
+    p.add_argument("--eval_ivf_probe", type=int, default=8)
+    p.add_argument("--eval_pq_m", type=int, default=48)
     p.add_argument("--cross_encoder_dir", default=None,
                    help="local HF *ForSequenceClassification checkpoint "
                    "dir (e.g. a clone of cross-encoder/stsb-roberta-large) "
@@ -109,6 +118,15 @@ def main(argv=None) -> int:
     from qst_tpu.evals.eval_set import create_ir_evaluation_set
     from qst_tpu.evals.ir_evaluator import InformationRetrievalEvaluator
     from qst_tpu.models.sentence_encoder import SentenceEncoder, init_params
+
+    if args.eval_index != "exact":
+        kept = [s for s in args.score_functions
+                if s in ("cos_sim", "dot_score")]
+        if kept != list(args.score_functions):
+            logger.info("--eval_index %s supports cos/dot only; dropping "
+                        "%s", args.eval_index,
+                        sorted(set(args.score_functions) - set(kept)))
+        args.score_functions = kept or ["cos_sim"]
 
     ir_cfg = IREvalConfig(
         n_queries=args.n_queries,
@@ -198,9 +216,22 @@ def main(argv=None) -> int:
         seed=args.seed,
         cache_path=os.path.join(out_dir, "ir_eval_set.json"))
 
+    index_factory = None
+    if args.eval_index == "ivf":
+        from qst_tpu.retrieval import IVFIndex
+
+        index_factory = lambda emb, ids, m: IVFIndex(
+            np.asarray(emb), n_clusters=args.eval_ivf_clusters, ids=ids,
+            mesh=m, default_n_probe=args.eval_ivf_probe)
+    elif args.eval_index == "pq":
+        from qst_tpu.retrieval import PQIndex
+
+        index_factory = lambda emb, ids, m: PQIndex(
+            np.asarray(emb), m=args.eval_pq_m, ids=ids, mesh=m,
+            keep_rows=True)
     evaluator = InformationRetrievalEvaluator(
         eval_set.queries, eval_set.corpus, eval_set.relevant, cfg=ir_cfg,
-        mesh=mesh, log_dir=out_dir)
+        mesh=mesh, log_dir=out_dir, index_factory=index_factory)
 
     def encode_with(params):
         enc = SentenceEncoder(encoder_cfg, params, tokenizer)

@@ -251,3 +251,27 @@ def test_index_cli_int8_build_and_query(tmp_path, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(payload["hits"]) == 2
+
+
+def test_ir_eval_cli_approximate_index(tmp_path):
+    """--eval_index ivf runs the IR A/B over the approximate index; the
+    default euclid score function is silently dropped (cos/dot kept)."""
+    from qst_tpu.cli import ir_eval_main
+
+    root = str(tmp_path / "chunks")
+    write_synthetic_dataset(root, n_chunks=2, chunk_dim=8)
+    rc = ir_eval_main.main([
+        "--dataset_root", root,
+        "--output_root", str(tmp_path / "ir"),
+        "--encoder_preset", "tiny",
+        "--n_queries", "6",
+        "--accuracy_at_k", "1", "3",
+        "--precision_recall_at_k", "3",
+        "--mrr_at_k", "3",
+        "--ndcg_at_k", "3",
+        "--map_at_k", "3",
+        "--eval_index", "ivf",
+        "--eval_ivf_clusters", "4",
+        "--eval_ivf_probe", "4",
+    ])
+    assert rc == 0
