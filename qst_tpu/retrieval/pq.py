@@ -793,20 +793,43 @@ class PQIndex:
         return s, ids
 
     def search_stream(self, query_batches, k: int = 10, depth: int = 4,
-                      decode: str = "onehot"):
+                      decode: str = "onehot",
+                      refine_factor: Optional[int] = None):
         """Pipelined serving loop (same dispatch pattern as
-        ``ExactIndex.search_stream``); PQ-score path only (re-ranking
-        requires a host round-trip per batch, which defeats the pipeline —
-        call :meth:`search` per batch when refinement is needed)."""
+        ``ExactIndex.search_stream``). ``refine_factor`` (default: 0 —
+        PQ-only scores; the throughput path) re-ranks each popped batch
+        exactly from the host-resident rows: the candidate gather +
+        rescore of batch N runs while batches N+1..N+depth−1 compute on
+        device, so the pipeline overlap survives refinement (the gather
+        rides the host link — budget for it on slow links)."""
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
-        from qst_tpu.retrieval.index import _pack_pair, _unpack_host
+        refine = refine_factor or 0
+        if refine and self._refine_rows is None:
+            raise ValueError(
+                "refine_factor needs keep_rows=True at build time")
+        from qst_tpu.retrieval.index import (
+            _pack_pair,
+            _unpack_host,
+            fetch_pair,
+        )
 
+        def finish(queries, packed):
+            s, i = _unpack_host(np.asarray(packed))
+            if not refine:
+                return s, i
+            cand = self._refine_rows[np.clip(i, 0, self.n_docs - 1)]
+            return fetch_pair(*_refine_rescore(
+                jnp.asarray(queries, jnp.float32), jnp.asarray(cand),
+                jnp.asarray(i), min(k, self.n_docs),
+                jnp.float32(1.0 / self._refine_scale)))
+
+        kk = min(k * refine, self.n_docs) if refine else k
         pending: list = []
         for q in query_batches:
             pending.append(
-                _pack_pair(*self._device_search(q, k, decode=decode)))
+                (q, _pack_pair(*self._device_search(q, kk, decode=decode))))
             if len(pending) >= depth:
-                yield _unpack_host(np.asarray(pending.pop(0)))
+                yield finish(*pending.pop(0))
         while pending:
-            yield _unpack_host(np.asarray(pending.pop(0)))
+            yield finish(*pending.pop(0))

@@ -512,3 +512,17 @@ def test_anisotropic_training(data):
     # search works over the anisotropic index
     s, i = aniso.search(queries, k=5)
     assert i.shape == (len(queries), 5)
+
+
+def test_search_stream_with_refine(data):
+    corpus, queries = data
+    idx = PQIndex(corpus, m=8, n_iters=6, keep_rows=True)
+    batches = [queries[:4], queries[4:]]
+    got = list(idx.search_stream(batches, k=6, depth=2, refine_factor=8))
+    for q, (s, i) in zip(batches, got):
+        s1, i1 = idx.search(q, k=6, refine_factor=8)
+        np.testing.assert_array_equal(i, i1)
+        np.testing.assert_allclose(s, s1, rtol=1e-6)
+    with pytest.raises(ValueError, match="keep_rows"):
+        list(PQIndex(corpus, m=8, n_iters=4).search_stream(
+            batches, k=3, refine_factor=4))
