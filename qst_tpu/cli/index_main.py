@@ -69,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                        "dynamic micro-batching across concurrent requests)")
     s.add_argument("--index_dir", required=True)
     s.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "pq", "ivf"],
+                   choices=["float32", "bfloat16", "int8", "pq", "ivf",
+                            "streaming"],
                    help="index storage dtype/kind: bfloat16 scores at MXU "
                    "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
@@ -105,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="search a persisted index")
     q.add_argument("--index_dir", required=True)
     q.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "pq", "ivf"],
+                   choices=["float32", "bfloat16", "int8", "pq", "ivf",
+                            "streaming"],
                    help="index storage dtype/kind: bfloat16 scores at MXU "
                    "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "

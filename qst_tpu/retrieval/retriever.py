@@ -94,6 +94,20 @@ def load_index(path: str, mesh=None,
         raise ValueError(
             f"index at {path} was not saved as an IVF index — rebuild "
             "it with index_dtype='ivf'")
+    if dtype == "streaming":
+        # serve a saved corpus LARGER than HBM: the embedding matrix is
+        # memory-mapped from disk and streamed through double-buffered
+        # host→HBM tiles (StreamingExactIndex) instead of loaded resident
+        if meta.get("dtype") == "int8":
+            raise ValueError(
+                "an int8-saved index uses its own quantization scale and "
+                "cannot stream verbatim — save float embeddings (or use "
+                "StreamingExactIndex.quantize_host for a streamable int8 "
+                "corpus)")
+        from qst_tpu.retrieval.streaming import StreamingExactIndex
+
+        return StreamingExactIndex.from_npy(
+            os.path.join(path, INDEX_FILE), ids=ids, mesh=mesh), meta
     emb = np.load(os.path.join(path, INDEX_FILE))
     if meta.get("dtype") == "int8" and emb.dtype == np.int8:
         if dtype not in (None, "int8"):
@@ -468,6 +482,12 @@ class Retriever:
             raise RuntimeError(
                 "search_stream needs a static ExactIndex (the updatable "
                 "buffer mutates between batches); use search()")
+        if not hasattr(self.index, "_device_search") and not hasattr(
+                self.index, "_device_search_retriever"):
+            raise RuntimeError(
+                f"{type(self.index).__name__} has no single-dispatch "
+                "search (a streamed index is a multi-dispatch tile loop); "
+                "use search()")
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         pos_of = self._pos() if (return_texts and self._doc_texts) else None

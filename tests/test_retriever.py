@@ -314,3 +314,36 @@ def test_load_dtype_override(tmp_path):
     assert str(r.index.embeddings.dtype) == "int8"
     hits = r.search(["a small cat lying on the rug"], k=2)
     assert hits[0][0][0] in (0, 1)
+
+
+def test_load_streaming_serves_saved_index(tmp_path):
+    """index_dtype='streaming' memmaps the saved embedding matrix and
+    serves it through the >HBM tile loop — same results as the resident
+    exact index."""
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    docs = [f"{topics[i % 5]} doc {i}" for i in range(300)]
+    r = Retriever(MockEncoder()).build(docs)
+    r.save(str(tmp_path / "idx"))
+    before = r.search(["a cat rests"], k=5, return_texts=True)
+
+    rs = Retriever(MockEncoder(), index_dtype="streaming").load(
+        str(tmp_path / "idx"))
+    from qst_tpu.retrieval import StreamingExactIndex
+
+    assert isinstance(rs.index, StreamingExactIndex)
+    after = rs.search(["a cat rests"], k=5, return_texts=True)
+    # bf16 tile transfer rounds scores, so near-ties inside the topic
+    # cluster may swap ranks — the hit SET and scores must agree
+    assert {h[0] for h in before[0]} == {h[0] for h in after[0]}
+    np.testing.assert_allclose(sorted(h[1] for h in before[0]),
+                               sorted(h[1] for h in after[0]), atol=5e-3)
+    with pytest.raises(RuntimeError, match="multi-dispatch"):
+        list(rs.search_stream([["a dog"]], k=3))
+
+    # int8-saved artifacts cannot stream verbatim (different scale scheme)
+    r8 = Retriever(MockEncoder(), index_dtype="int8").build(docs)
+    r8.save(str(tmp_path / "idx8"))
+    from qst_tpu.retrieval import load_index
+
+    with pytest.raises(ValueError, match="quantize_host"):
+        load_index(str(tmp_path / "idx8"), dtype="streaming")
