@@ -40,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunked quadruplet dataset (uses all captions)")
     b.add_argument("--index_dir", required=True)
     b.add_argument("--index_dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "pq", "ivf"],
+                   choices=["float32", "bfloat16", "int8", "pq", "ivf",
+                            "streaming"],
                    help="index storage dtype/kind: bfloat16 scores at MXU "
                    "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
@@ -166,8 +167,14 @@ def main(argv=None) -> int:
                               pq_m=args.pq_m,
                               ivf_clusters=args.ivf_clusters,
                               ivf_probe=args.ivf_probe)
-        retriever.build(docs)
-        retriever.save(args.index_dir)
+        if args.index_dtype == "streaming":
+            # incremental build-to-disk: the embedding matrix never exists
+            # in RAM/HBM whole — index corpora beyond both, then serve with
+            # the same --index_dtype streaming
+            retriever.build_to_disk(docs, args.index_dir)
+        else:
+            retriever.build(docs)
+            retriever.save(args.index_dir)
         dump_args(args, args.index_dir)
         logger.info("indexed %d docs into %s", len(docs), args.index_dir)
         return 0

@@ -364,6 +364,49 @@ class Retriever:
         self._doc_texts = list(docs)
         return self
 
+    def build_to_disk(self, docs: Sequence[str], path: str,
+                      ids: Optional[Sequence] = None,
+                      encode_batch: int = 8192) -> "Retriever":
+        """Build a disk-backed index artifact INCREMENTALLY: documents are
+        encoded in ``encode_batch``-text chunks and written straight into a
+        memory-mapped ``embeddings.npy``, so corpora whose embedding matrix
+        exceeds RAM/HBM can be indexed end-to-end (then served with
+        ``index_dtype="streaming"`` — the artifact layout matches
+        :meth:`save`, texts included). The retriever is left holding the
+        memmap-backed :class:`StreamingExactIndex`."""
+        from qst_tpu.retrieval.streaming import StreamingExactIndex
+
+        docs = list(docs)
+        if not docs:
+            raise ValueError("no documents to index")
+        ids = list(ids) if ids is not None else list(range(len(docs)))
+        if len(ids) != len(docs):
+            raise ValueError("ids length mismatch")
+        os.makedirs(path, exist_ok=True)
+        emb_path = os.path.join(path, INDEX_FILE)
+        mm = None
+        for lo in range(0, len(docs), encode_batch):
+            chunk = np.asarray(
+                self.encoder.encode(docs[lo:lo + encode_batch]), np.float32)
+            if mm is None:
+                mm = np.lib.format.open_memmap(
+                    emb_path, mode="w+", dtype=np.float32,
+                    shape=(len(docs), chunk.shape[1]))
+            mm[lo:lo + chunk.shape[0]] = chunk
+        mm.flush()
+        with open(os.path.join(path, IDS_FILE), "w") as f:
+            json.dump(ids, f)
+        with open(os.path.join(path, META_FILE), "w") as f:
+            json.dump({"n_docs": len(ids), "dim": int(mm.shape[1]),
+                       "score": self.score}, f)
+        with open(os.path.join(path, "docs.json"), "w") as f:
+            json.dump(docs, f)
+        del mm
+        self.index = StreamingExactIndex.from_npy(emb_path, ids=ids,
+                                                  mesh=self.mesh)
+        self._doc_texts = docs
+        return self
+
     def save(self, path: str) -> None:
         if self.index is None:
             raise RuntimeError("no index built")

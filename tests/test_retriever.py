@@ -347,3 +347,26 @@ def test_load_streaming_serves_saved_index(tmp_path):
 
     with pytest.raises(ValueError, match="quantize_host"):
         load_index(str(tmp_path / "idx8"), dtype="streaming")
+
+
+def test_build_to_disk_and_stream_serve(tmp_path):
+    """Incremental disk build: embeddings land in a memmapped
+    embeddings.npy chunk by chunk; the resulting artifact reloads as
+    either a streaming or a resident index with agreeing results."""
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    docs = [f"{topics[i % 5]} doc {i}" for i in range(300)]
+    path = str(tmp_path / "disk_idx")
+    r = Retriever(MockEncoder()).build_to_disk(docs, path, encode_batch=64)
+    from qst_tpu.retrieval import StreamingExactIndex
+
+    assert isinstance(r.index, StreamingExactIndex)
+    hits = r.search(["a cat rests"], k=5, return_texts=True)
+    assert hits[0][0][2].startswith("cat")
+
+    # the artifact is a normal save() layout: resident reload agrees
+    rr = Retriever(MockEncoder()).load(path)
+    resident = rr.search(["a cat rests"], k=5)
+    assert {h[0] for h in hits[0]} == {h[0] for h in resident[0]}
+
+    with pytest.raises(ValueError, match="no documents"):
+        Retriever(MockEncoder()).build_to_disk([], str(tmp_path / "e"))
