@@ -526,3 +526,17 @@ def test_search_stream_with_refine(data):
     with pytest.raises(ValueError, match="keep_rows"):
         list(PQIndex(corpus, m=8, n_iters=4).search_stream(
             batches, k=3, refine_factor=4))
+
+
+def test_sharded_with_rotation_matches_single(data):
+    """Rotation + mesh sharding compose: queries rotate before dispatch,
+    codes shard after rotated encoding — parity with single-device."""
+    corpus, queries = data
+    mesh = make_mesh()
+    single = PQIndex(corpus, m=8, n_iters=6, rotate=True, seed=4)
+    sharded = PQIndex(corpus, m=8, n_iters=6, rotate=True, seed=4,
+                      mesh=mesh)
+    s1, i1 = single.search(queries, k=10)
+    s2, i2 = sharded.search(queries, k=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)
