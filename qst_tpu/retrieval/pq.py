@@ -704,7 +704,8 @@ class PQIndex:
             q = q @ self._rotation
         n_real = jnp.full((1,), self.n_docs, jnp.int32)
         use_pallas = (backend == "pallas"
-                      or (backend == "auto" and self._pallas_eligible(k)))
+                      or (backend == "auto"
+                          and self._pallas_eligible(k, q.shape[0])))
         if use_pallas and self.mesh is None:
             return self._pallas_search(q, k, decode)
         if self.mesh is not None:
@@ -721,14 +722,27 @@ class PQIndex:
 
     PALLAS_MIN_DOCS = 65536        # below this the XLA scan wins
     PALLAS_MIN_SHARD_DOCS = 16384  # per-shard threshold (as ExactIndex)
+    PALLAS_MIN_QUERIES = 256       # the fused kernels pad queries to 512
+    # rows internally, so a small batch pays the full 512-query decode +
+    # score; the XLA scan's cost scales with Q and wins below this
+    # (measured at the serving shape: mean-18-query batches ran 206 req/s
+    # fused vs 310 on the scan)
 
-    def _pallas_eligible(self, k: int) -> bool:
+    def _pallas_eligible(self, k: int, n_queries: int) -> bool:
         if self.mesh is None:
             big_enough = self.n_docs >= self.PALLAS_MIN_DOCS
         else:
             big_enough = self.shard_rows >= self.PALLAS_MIN_SHARD_DOCS
         return (k <= 128 and big_enough
+                and n_queries >= self.PALLAS_MIN_QUERIES
                 and jax.default_backend() != "cpu")
+
+    QUERY_QUANTUM = 512   # pad the query batch so every serving-bucket
+    # batch size shares ONE compiled fused pipeline: the kernels pad
+    # queries to 512 rows internally anyway, but each distinct pre-pad Q
+    # produces a distinct XLA module whose embedded Mosaic kernels
+    # recompile (~40 s each) — under the server's power-of-two batch
+    # bucketing that meant 6 batch shapes × k buckets of warmup compiles
 
     def _pallas_search(self, q, k: int, decode: str):
         """Fused-path search: decode PQ_SUPER_TILE-row slices to bf16 on
@@ -738,8 +752,12 @@ class PQIndex:
         interpret = jax.default_backend() == "cpu"
         n_pad = self.codes.shape[0]
         Q = q.shape[0]
-        cs = jnp.full((Q, k), -jnp.inf, jnp.float32)
-        ci = jnp.full((Q, k), -1, jnp.int32)
+        qq = ((Q + self.QUERY_QUANTUM - 1)
+              // self.QUERY_QUANTUM) * self.QUERY_QUANTUM
+        if qq != Q:
+            q = jnp.pad(q, ((0, qq - Q), (0, 0)))
+        cs = jnp.full((qq, k), -jnp.inf, jnp.float32)
+        ci = jnp.full((qq, k), -1, jnp.int32)
         for lo in range(0, n_pad, PQ_SUPER_TILE):
             hi = min(lo + PQ_SUPER_TILE, n_pad)
             n_local = jnp.clip(jnp.int32(self.n_docs) - lo, 0, hi - lo)
@@ -748,7 +766,7 @@ class PQIndex:
                 self.codebooks, n_local, jnp.int32(lo), k, decode,
                 interpret)
             cs, ci = _merge_topk(cs, ci, s, i, k)
-        return cs, ci
+        return cs[:Q], ci[:Q]
 
     DEFAULT_REFINE = 8
 
