@@ -527,6 +527,62 @@ class IVFIndex:
             jax.device_put(h, sharding) if sharding is not None
             else jnp.asarray(h) for h in repacked)
 
+    def tune_n_probe(self, queries, k: int = 10,
+                     target_recall: float = 0.95,
+                     candidates: Optional[List[int]] = None,
+                     backend: str = "auto",
+                     set_default: bool = True) -> Tuple[int, dict]:
+        """Pick the smallest ``n_probe`` meeting a recall target.
+
+        Ground truth is this index's own exhaustive search
+        (``n_probe = n_cells`` scans every cell, which is EXACT — the
+        cells hold the whole corpus, see :meth:`reconstruct_rows`), so no
+        separate exact index or original corpus is needed. Candidates
+        default to powers of two up to the cell count; they are probed in
+        ascending order and the sweep stops at the first one whose
+        recall@k on the given query sample reaches ``target_recall``
+        (falling back to the exact full probe when none does).
+        ``set_default=True`` installs the winner as ``default_n_probe``
+        (the value the Retriever/serving path uses).
+
+        → ``(n_probe, {candidate: recall})`` — the measured curve is
+        returned so callers can log the recall/cost trade-off they chose.
+        """
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError(
+                f"target_recall must be in (0, 1], got {target_recall}")
+        n_cells = int(self.centroids.shape[0])
+        if candidates is None:
+            candidates = []
+            p = 1
+            while p < n_cells:
+                candidates.append(p)
+                p *= 2
+        else:
+            candidates = sorted({int(p) for p in candidates
+                                 if 1 <= int(p) < n_cells})
+        k = min(k, self.n_docs)
+        q = np.asarray(queries, np.float32)
+        _, truth = self.search(q, k=k, n_probe=n_cells, backend=backend)
+        truth_sets = [set(row) for row in truth]
+
+        curve: dict = {}
+        best = n_cells
+        for p in candidates:
+            _, got = self.search(q, k=k, n_probe=p, backend=backend)
+            recall = float(np.mean([
+                len(t & {i for i in row if i is not None}) / max(len(t), 1)
+                for t, row in zip(truth_sets, got)]))
+            curve[p] = recall
+            if recall >= target_recall:
+                best = p
+                break
+        if best == n_cells:   # nothing met the target: exact full probe
+            curve[n_cells] = 1.0
+        if set_default:
+            self.default_n_probe = best
+        return best, curve
+
     def search_ids(self, queries, k: int = 10, score: str = "cos_sim",
                    n_probe: Optional[int] = None):
         """→ (scores, external-id lists). Cells store normalized rows, so

@@ -309,3 +309,36 @@ def test_index_cli_ivf_build_and_query(tmp_path, capsys):
     assert rc == 0
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(payload["hits"]) == 2
+
+
+def test_ivf_tune_n_probe(clustered_corpus):
+    """tune_n_probe picks the smallest power-of-two probe meeting the
+    recall target (ground truth = the index's own full probe, which is
+    exact), installs it as the serving default, and returns the measured
+    curve; an unreachable target falls back to the exact full probe."""
+    rng = np.random.default_rng(3)
+    queries = clustered_corpus[rng.choice(len(clustered_corpus), 24)] \
+        + rng.standard_normal((24, 32)).astype(np.float32) * 0.1
+    ivf = IVFIndex(clustered_corpus, n_clusters=16, seed=0)
+
+    best, curve = ivf.tune_n_probe(queries, k=10, target_recall=0.9)
+    assert best in curve and curve[best] >= 0.9
+    assert ivf.default_n_probe == best
+    # every probed candidate below the winner missed the target
+    assert all(r < 0.9 for p, r in curve.items() if p < best)
+    # the curve winner really delivers that recall when searched directly
+    _, truth = ivf.search(queries, k=10, n_probe=16)
+    _, got = ivf.search(queries, k=10, n_probe=best)
+    recall = np.mean([
+        len(set(t) & set(g)) / 10 for t, g in zip(truth, got)])
+    assert recall >= 0.9
+
+    # unreachable target: fall back to the exact full probe
+    best_hi, curve_hi = ivf.tune_n_probe(
+        queries, k=10, target_recall=1.0, candidates=[1],
+        set_default=False)
+    assert best_hi == 16 and curve_hi[16] == 1.0
+    assert ivf.default_n_probe == best  # set_default=False left it alone
+
+    with pytest.raises(ValueError, match="target_recall"):
+        ivf.tune_n_probe(queries, target_recall=0.0)
