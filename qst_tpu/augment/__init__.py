@@ -4,6 +4,7 @@ from qst_tpu.augment.backtranslation import (
     IdentityBacktranslator,
     ParaphraseBacktranslator,
     MarianBacktranslator,
+    JaxMarianBacktranslator,
     get_backtranslator,
     reset_backtranslator,
     perform_back_translation,
@@ -37,6 +38,7 @@ __all__ = [
     "IdentityBacktranslator",
     "ParaphraseBacktranslator",
     "MarianBacktranslator",
+    "JaxMarianBacktranslator",
     "get_backtranslator",
     "reset_backtranslator",
     "perform_back_translation",

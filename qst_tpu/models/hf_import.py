@@ -269,6 +269,67 @@ def load_hf_checkpoint_dir(ckpt_dir: str):
     return cfg, params, _vocab_path(_find)
 
 
+def load_marian_dir(ckpt_dir: str):
+    """Load a local HF MarianMT checkpoint DIRECTORY (the layout of
+    ``Helsinki-NLP/opus-mt-en-fr`` clones — the models the reference's
+    backtranslation downloads at reference dataset/backtranslation.py:8-49)
+    into ``(Seq2SeqConfig, params pytree, generation defaults dict)``.
+
+    The params feed :class:`qst_tpu.models.seq2seq.MarianModule`; generation
+    defaults capture the checkpoint's ``generation_config.json`` /
+    ``config.json`` decode settings (``num_beams``, ``max_length``, pad
+    suppression via single-token ``bad_words_ids``, ``forced_eos_token_id``)
+    so on-device decode matches torch ``MarianMTModel.generate``
+    token-for-token (tests/test_marian_backend.py).
+    """
+    import json
+    import os
+
+    from qst_tpu.models.seq2seq import Seq2SeqConfig
+    from qst_tpu.models.seq2seq import import_marian_params as _imp
+
+    weights, hf_cfg, find = _resolve_checkpoint_files(ckpt_dir)
+    if hf_cfg.get("model_type", "marian") != "marian":
+        raise ValueError(
+            f"{ckpt_dir}: model_type {hf_cfg.get('model_type')!r} is not a "
+            "MarianMT checkpoint")
+    cfg = Seq2SeqConfig(
+        vocab_size=int(hf_cfg["vocab_size"]),
+        d_model=int(hf_cfg["d_model"]),
+        encoder_layers=int(hf_cfg["encoder_layers"]),
+        decoder_layers=int(hf_cfg["decoder_layers"]),
+        num_heads=int(hf_cfg["encoder_attention_heads"]),
+        ffn_dim=int(hf_cfg["encoder_ffn_dim"]),
+        max_position_embeddings=int(hf_cfg["max_position_embeddings"]),
+        pad_token_id=int(hf_cfg["pad_token_id"]),
+        eos_token_id=int(hf_cfg["eos_token_id"]),
+        decoder_start_token_id=int(hf_cfg["decoder_start_token_id"]),
+        scale_embedding=bool(hf_cfg.get("scale_embedding", True)),
+        activation=hf_cfg.get("activation_function", "swish"),
+    )
+    params = _imp(load_torch_state_dict(weights), cfg)
+
+    # generation defaults: generation_config.json overrides config.json
+    gen = dict(hf_cfg)
+    gen_path = find("generation_config.json")
+    if gen_path:
+        with open(gen_path) as f:
+            gen.update(json.load(f))
+    suppress = []
+    for word in gen.get("bad_words_ids") or []:
+        if len(word) == 1:  # Marian ships [[pad_token_id]]
+            suppress.append(int(word[0]))
+    defaults = {
+        "num_beams": int(gen.get("num_beams") or 1),
+        "max_length": int(gen.get("max_length") or 512),
+        "length_penalty": float(gen.get("length_penalty") or 1.0),
+        "suppress_tokens": tuple(suppress),
+        "forced_eos": gen.get("forced_eos_token_id") is not None,
+        "name": os.path.basename(os.path.normpath(ckpt_dir)),
+    }
+    return cfg, params, defaults
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a ``pytorch_model.bin`` / ``.safetensors`` file from disk
     (no network). torch import is gated here so the rest of the framework

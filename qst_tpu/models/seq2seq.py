@@ -197,6 +197,30 @@ def _mask_bias(mask):  # (B, T) → (B, 1, 1, T) additive
     return jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
 
 
+def _suppress_bias(vocab_size: int, suppress_tokens) -> jnp.ndarray:
+    """(V,) additive bias: -1e9 at suppressed ids, 0 elsewhere.
+
+    Matches HF's ``bad_words_ids`` / ``NoBadWordsLogitsProcessor`` for
+    single-token bad words (real Marian checkpoints ship
+    ``bad_words_ids=[[pad_token_id]]``). HF applies the processor AFTER
+    ``log_softmax`` in beam search, so the bias is added to log-probs
+    without renormalization — we do the same.
+    """
+    bias = np.zeros((vocab_size,), np.float32)
+    for t in suppress_tokens:
+        bias[int(t)] = -1e9
+    return jnp.asarray(bias)
+
+
+def _forced_eos_mask(logp, t, max_length: int, eos_id: int):
+    """HF ``ForcedEOSTokenLogitsProcessor``: at the final generated slot,
+    every non-EOS continuation is -inf while EOS keeps its score."""
+    V = logp.shape[-1]
+    is_last = t == (max_length - 2)
+    non_eos = jax.lax.broadcasted_iota(jnp.int32, (V,), 0) != eos_id
+    return jnp.where(is_last & non_eos, -1e9, 0.0).astype(logp.dtype) + logp
+
+
 class MarianModule(nn.Module):
     """Full encoder-decoder; __call__ → decoder vocab logits."""
 
@@ -300,15 +324,22 @@ def init_seq2seq(cfg: Seq2SeqConfig, rng: jax.Array):
     return model.init({"params": rng}, z, m, z, m)["params"]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_length"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length",
+                                              "suppress_tokens", "forced_eos"))
 def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
-                  max_length: int = 64) -> jax.Array:
+                  max_length: int = 64, suppress_tokens: tuple = (),
+                  forced_eos: bool = False) -> jax.Array:
     """Greedy generation, static shapes: → (B, max_length) token ids
-    (decoder-start prefix included; pads after EOS)."""
+    (decoder-start prefix included; pads after EOS).
+
+    ``suppress_tokens`` / ``forced_eos`` mirror HF ``bad_words_ids`` (single
+    tokens) and ``forced_eos_token_id`` — real Marian checkpoints use both.
+    """
     model = MarianModule(cfg)
     B = input_ids.shape[0]
     enc = model.apply({"params": params}, input_ids, attention_mask,
                       method=MarianModule.encode)
+    sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
 
     tokens = jnp.full((B, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -320,7 +351,10 @@ def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
         dec_mask = jnp.broadcast_to(dec_mask, (B, max_length))
         logits = model.apply({"params": params}, tokens, dec_mask, enc,
                              attention_mask, method=MarianModule.decode)
-        nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
+        step = logits[:, t, :] + sup[None, :]
+        if forced_eos:
+            step = _forced_eos_mask(step, t, max_length, cfg.eos_token_id)
+        nxt = jnp.argmax(step, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t + 1].set(nxt)
         done = done | (nxt == cfg.eos_token_id)
@@ -330,10 +364,12 @@ def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     return tokens
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_length"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length",
+                                              "suppress_tokens", "forced_eos"))
 def greedy_decode_cached(params, input_ids, attention_mask,
                          cfg: Seq2SeqConfig,
-                         max_length: int = 64) -> jax.Array:
+                         max_length: int = 64, suppress_tokens: tuple = (),
+                         forced_eos: bool = False) -> jax.Array:
     """KV-cached greedy generation: one O(1) decoder step per token instead
     of re-running the full prefix (O(L) total vs O(L²)); token-identical to
     :func:`greedy_decode`."""
@@ -343,6 +379,7 @@ def greedy_decode_cached(params, input_ids, attention_mask,
                       method=MarianModule.encode)
     caches = model.apply({"params": params}, enc, max_length,
                          method=MarianModule.init_decode_cache)
+    sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
 
     tokens = jnp.full((B, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -354,7 +391,10 @@ def greedy_decode_cached(params, input_ids, attention_mask,
         logits, caches = model.apply(
             {"params": params}, tok_t, t, attention_mask, caches,
             method=MarianModule.decode_token)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step = logits + sup[None, :]
+        if forced_eos:
+            step = _forced_eos_mask(step, t, max_length, cfg.eos_token_id)
+        nxt = jnp.argmax(step, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t + 1].set(nxt)
         done = done | (nxt == cfg.eos_token_id)
@@ -367,10 +407,12 @@ def greedy_decode_cached(params, input_ids, attention_mask,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "max_length", "num_beams",
-                                    "length_penalty"))
+                                    "length_penalty", "suppress_tokens",
+                                    "forced_eos"))
 def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
                 max_length: int = 64, num_beams: int = 4,
-                length_penalty: float = 1.0) -> jax.Array:
+                length_penalty: float = 1.0, suppress_tokens: tuple = (),
+                forced_eos: bool = False) -> jax.Array:
     """Beam-search generation (static shapes): → (B, max_length) best beam.
 
     Standard sequence beam search with HF-style length penalty
@@ -391,6 +433,7 @@ def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     # expand encoder state per beam: (B*K, S, D)
     enc_k = jnp.repeat(enc, K, axis=0)
     mask_k = jnp.repeat(attention_mask, K, axis=0)
+    sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
 
     tokens = jnp.full((B, K, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
@@ -407,6 +450,9 @@ def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
         logits = model.apply({"params": params}, flat_tokens, dec_mask,
                              enc_k, mask_k, method=MarianModule.decode)
         logp = jax.nn.log_softmax(logits[:, t, :].astype(jnp.float32), -1)
+        logp = logp + sup[None, :]
+        if forced_eos:
+            logp = _forced_eos_mask(logp, t, max_length, cfg.eos_token_id)
         logp = logp.reshape(B, K, V)
         # finished beams may only extend with PAD at zero cost
         pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
@@ -437,10 +483,13 @@ def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "max_length", "num_beams",
-                                    "length_penalty"))
+                                    "length_penalty", "suppress_tokens",
+                                    "forced_eos"))
 def beam_decode_cached(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
                        max_length: int = 64, num_beams: int = 4,
-                       length_penalty: float = 1.0) -> jax.Array:
+                       length_penalty: float = 1.0,
+                       suppress_tokens: tuple = (),
+                       forced_eos: bool = False) -> jax.Array:
     """KV-cached beam search: O(1) decoder work per (beam, token); beam
     reordering gathers the self-attention caches along the beam axis.
     Token-identical to :func:`beam_decode`."""
@@ -455,6 +504,7 @@ def beam_decode_cached(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     mask_k = jnp.repeat(attention_mask, K, axis=0)
     caches = model.apply({"params": params}, enc_k, max_length,
                          method=MarianModule.init_decode_cache)
+    sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
 
     tokens = jnp.full((B, K, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
@@ -478,6 +528,9 @@ def beam_decode_cached(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
             {"params": params}, tok_t, t, mask_k, caches,
             method=MarianModule.decode_token)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp + sup[None, :]
+        if forced_eos:
+            logp = _forced_eos_mask(logp, t, max_length, cfg.eos_token_id)
         logp = logp.reshape(B, K, V)
         pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
         logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
@@ -538,10 +591,30 @@ def import_marian_params(state_dict: Mapping[str, Any],
             "out_proj": dense(prefix + ".out_proj"),
         }
 
+    def first(*keys):
+        for k in keys:
+            if k in sd:
+                return sd[k]
+        return None
+
+    # tied-weight dedup (safetensors drops duplicates) and non-persistent
+    # buffers make these keys vary across save paths; fall back gracefully
+    shared = first("model.shared.weight", "model.encoder.embed_tokens.weight",
+                   "model.decoder.embed_tokens.weight", "lm_head.weight")
+    if shared is None:
+        raise KeyError("no shared-embedding weight in Marian state dict")
+    positions = first("model.encoder.embed_positions.weight",
+                      "model.decoder.embed_positions.weight")
+    if positions is None:  # deterministic sinusoids — recompute
+        positions = sinusoidal_positions(cfg.max_position_embeddings,
+                                         cfg.d_model)
+    bias = first("final_logits_bias")
+    if bias is None:
+        bias = np.zeros((cfg.vocab_size,), np.float32)
     params: Dict[str, Any] = {
-        "shared": {"embedding": sd["model.shared.weight"]},
-        "embed_positions": sd["model.encoder.embed_positions.weight"],
-        "final_logits_bias": sd["final_logits_bias"].reshape(-1),
+        "shared": {"embedding": shared},
+        "embed_positions": positions[: cfg.max_position_embeddings],
+        "final_logits_bias": bias.reshape(-1),
     }
     for i in range(cfg.encoder_layers):
         p = f"model.encoder.layers.{i}"
