@@ -254,7 +254,8 @@ class ExactIndex:
 
     def __init__(self, embeddings, ids: Optional[list] = None,
                  mesh: Optional[Mesh] = None, normalize: bool = False,
-                 dtype: str = "float32", int8_scale: Optional[float] = None):
+                 dtype: str = "float32", int8_scale: Optional[float] = None,
+                 cache_cos_corpus: bool = False):
         """dtype="bfloat16" stores the corpus MXU-native — ~4× matmul
         throughput; ranking is then exact w.r.t. bf16-input scores (the
         benchmarked serving configuration). dtype="int8" stores a
@@ -264,13 +265,17 @@ class ExactIndex:
         quantized vectors (recall vs f32 ground truth measured in
         benchmarks/RESULTS.md); cos/dot only.
 
-        HBM note: cos searches on a NON-normalized index cache a second,
-        normalized corpus copy on first use (re-deriving it per call costs
-        O(N·D) work + a corpus-sized allocation every search) — ~2× index
-        HBM while both live. Build with ``normalize=True`` when only cos
-        searches are needed (scores are identical; dot/euclid then see the
-        normalized vectors), or serve dot_score over pre-normalized
-        embeddings.
+        HBM note: cos searches on a NON-normalized index need unit-norm
+        rows somewhere. By default nothing corpus-sized is kept: "auto"
+        dispatch routes such searches to the XLA scan, which normalizes
+        tile-locally inside the fused score (no side buffer), and a FORCED
+        ``backend="pallas"`` builds the normalized copy transiently per
+        call (2× index HBM during that call only). Opt in to
+        ``cache_cos_corpus=True`` to build the copy once and keep it —
+        restores the fused-Pallas fast path for repeated cos serving at a
+        documented, explicit 2× index HBM cost. Build with
+        ``normalize=True`` when only cos searches are needed (scores are
+        identical; dot/euclid then see the normalized vectors).
 
         ``int8_scale`` (with an ALREADY-int8 ``embeddings`` array and
         dtype="int8") adopts a pre-quantized corpus verbatim — the
@@ -336,7 +341,8 @@ class ExactIndex:
             raise ValueError("ids length mismatch")
         self.mesh = mesh
         self._search_fns = {}
-        self._cos_corpus = None  # lazily normalized corpus for cos searches
+        self._cache_cos_corpus = bool(cache_cos_corpus)
+        self._cos_corpus = None  # opt-in normalized-corpus cache (cos)
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
             n_dev = int(np.prod(list(mesh.shape.values())))
             # BUCKET-aligned shards so the fused per-shard pipeline
@@ -363,8 +369,14 @@ class ExactIndex:
             big_enough = self.n_docs >= self.PALLAS_MIN_DOCS
         else:
             big_enough = self.shard_rows >= self.PALLAS_MIN_SHARD_DOCS
+        # cos over a non-normalized corpus needs a unit-norm corpus copy;
+        # without the opt-in cache, auto dispatch prefers the XLA scan
+        # (tile-local normalization, zero corpus-sized side allocation)
+        needs_copy = (score == "cos_sim" and not self._normalized
+                      and not self._cache_cos_corpus)
         return (k <= 128
                 and score in ("cos_sim", "dot_score")
+                and not needs_copy
                 and big_enough
                 and jax.devices()[0].platform != "cpu")
 
@@ -407,14 +419,20 @@ class ExactIndex:
             if score == "cos_sim":
                 qq = l2_normalize(qq)
                 if not self._normalized:
-                    # normalize the corpus ONCE and reuse it — re-deriving it
-                    # per call costs O(N·D) device work + a full corpus-sized
-                    # allocation on every search (sharded: l2_normalize is
-                    # elementwise-per-row so XLA keeps the doc sharding)
-                    if self._cos_corpus is None:
-                        self._cos_corpus = l2_normalize(
+                    # the fused kernel scores raw dots, so cos needs a
+                    # unit-norm corpus. cache_cos_corpus=True keeps one copy
+                    # for repeated serving (explicit 2× HBM opt-in, class
+                    # docstring); otherwise the copy is per-call transient —
+                    # freed when the search's device values materialize
+                    # (sharded: l2_normalize is elementwise-per-row so XLA
+                    # keeps the doc sharding)
+                    if self._cos_corpus is not None:
+                        cc = self._cos_corpus
+                    else:
+                        cc = l2_normalize(
                             cc.astype(jnp.float32)).astype(cc.dtype)
-                    cc = self._cos_corpus
+                        if self._cache_cos_corpus:
+                            self._cos_corpus = cc
             qq = qq.astype(cc.dtype)
             if self.mesh is not None:
                 # fused pipeline per shard under shard_map + ICI merge;

@@ -559,12 +559,22 @@ class IVFIndex:
                 candidates.append(p)
                 p *= 2
         else:
-            candidates = sorted({int(p) for p in candidates
+            given = list(candidates)
+            candidates = sorted({int(p) for p in given
                                  if 1 <= int(p) < n_cells})
+            if not candidates:
+                # a silently-empty sweep would install the exhaustive full
+                # probe — the O(N·D) scan IVF exists to avoid
+                raise ValueError(
+                    f"no candidates in [1, {n_cells}) after filtering "
+                    f"{given!r}; pass n_probe values below the cell count")
         k = min(k, self.n_docs)
         q = np.asarray(queries, np.float32)
+        if q.ndim != 2 or q.shape[0] == 0:
+            raise ValueError(
+                f"queries must be a non-empty (Q, D) sample, got {q.shape}")
         _, truth = self.search(q, k=k, n_probe=n_cells, backend=backend)
-        truth_sets = [set(row) for row in truth]
+        truth_sets = [set(i for i in row if i is not None) for row in truth]
 
         curve: dict = {}
         best = n_cells
@@ -579,6 +589,15 @@ class IVFIndex:
                 break
         if best == n_cells:   # nothing met the target: exact full probe
             curve[n_cells] = 1.0
+            import warnings
+
+            warnings.warn(
+                f"tune_n_probe: no candidate in {candidates} reached "
+                f"recall@{k} >= {target_recall}; "
+                + ("installing" if set_default else "returning")
+                + f" the exhaustive full probe (n_probe={n_cells}), which "
+                "scans every cell — widen the candidate list or lower "
+                "target_recall", stacklevel=2)
         if set_default:
             self.default_n_probe = best
         return best, curve

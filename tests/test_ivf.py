@@ -333,12 +333,20 @@ def test_ivf_tune_n_probe(clustered_corpus):
         len(set(t) & set(g)) / 10 for t, g in zip(truth, got)])
     assert recall >= 0.9
 
-    # unreachable target: fall back to the exact full probe
-    best_hi, curve_hi = ivf.tune_n_probe(
-        queries, k=10, target_recall=1.0, candidates=[1],
-        set_default=False)
+    # unreachable target: fall back to the exact full probe — LOUDLY
+    # (at scale that default turns serving into the O(N·D) scan)
+    with pytest.warns(UserWarning, match="exhaustive full probe"):
+        best_hi, curve_hi = ivf.tune_n_probe(
+            queries, k=10, target_recall=1.0, candidates=[1],
+            set_default=False)
     assert best_hi == 16 and curve_hi[16] == 1.0
     assert ivf.default_n_probe == best  # set_default=False left it alone
 
     with pytest.raises(ValueError, match="target_recall"):
         ivf.tune_n_probe(queries, target_recall=0.0)
+
+    # degenerate inputs raise instead of silently installing the full scan
+    with pytest.raises(ValueError, match="no candidates"):
+        ivf.tune_n_probe(queries, candidates=[16, 99, 0])
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf.tune_n_probe(np.zeros((0, 32), np.float32))

@@ -163,10 +163,24 @@ def test_search_stream_depth_validation(rng):
         list(idx.search_stream([np.zeros((2, 8), np.float32)], depth=0))
 
 
-def test_cos_corpus_normalized_once(rng, monkeypatch):
-    # the un-normalized pallas cos path must cache the normalized corpus
+def _route_pallas(idx, monkeypatch):
+    """Force the fused-pallas dispatch branch with a jnp stand-in kernel."""
+    import qst_tpu.retrieval.index as index_mod
+    import qst_tpu.ops.topk_pallas as tp
+
+    monkeypatch.setattr(idx, "_pallas_eligible", lambda k, s: True)
+    monkeypatch.setattr(
+        index_mod, "exact_topk", None)  # must not be used on this path
+    monkeypatch.setattr(
+        tp, "pallas_topk_v2",
+        lambda q, c, k, **kw: tp.reference_topk(q, c, k))
+
+
+def test_cos_corpus_cache_opt_in_normalizes_once(rng, monkeypatch):
+    # cache_cos_corpus=True: the un-normalized pallas cos path builds the
+    # normalized corpus ONCE and reuses it (explicit 2x-HBM opt-in)
     corpus = rng.standard_normal((256, 16)).astype(np.float32)
-    idx = ExactIndex(corpus)  # normalize=False
+    idx = ExactIndex(corpus, cache_cos_corpus=True)  # normalize=False
     calls = {"n": 0}
     import qst_tpu.retrieval.index as index_mod
     real = index_mod.l2_normalize
@@ -176,19 +190,54 @@ def test_cos_corpus_normalized_once(rng, monkeypatch):
         return real(x)
 
     monkeypatch.setattr(index_mod, "l2_normalize", counting)
-    monkeypatch.setattr(idx, "_pallas_eligible", lambda k, s: True)
-    monkeypatch.setattr(
-        index_mod, "exact_topk", None)  # must not be used on this path
-    import qst_tpu.ops.topk_pallas as tp
-    monkeypatch.setattr(
-        tp, "pallas_topk_v2",
-        lambda q, c, k, **kw: tp.reference_topk(q, c, k))
+    _route_pallas(idx, monkeypatch)
     q = rng.standard_normal((3, 16)).astype(np.float32)
     idx.search(q, k=2)
     first = calls["n"]
+    assert idx._cos_corpus is not None
     idx.search(q, k=2)
     # second call normalizes only the queries, not the corpus again
     assert calls["n"] == first + 1
+
+
+def test_cos_unnormalized_default_keeps_no_corpus_copy(rng, monkeypatch):
+    # DEFAULT: no corpus-sized buffer survives a cos search on a
+    # normalize=False index — forced pallas normalizes transiently per
+    # call, and auto dispatch refuses pallas for this combination
+    corpus = rng.standard_normal((256, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    ref_s, ref_i = ExactIndex(corpus, normalize=True).search(q, k=3)
+
+    idx = ExactIndex(corpus)
+    s, i = idx.search(q, k=3)   # auto → XLA scan path
+    assert idx._cos_corpus is None
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)
+
+    _route_pallas(idx, monkeypatch)
+    s2, i2 = idx.search(q, k=3)  # forced pallas → transient copy only
+    assert idx._cos_corpus is None
+    np.testing.assert_array_equal(i2, ref_i)
+    np.testing.assert_allclose(s2, ref_s, rtol=1e-5, atol=1e-6)
+
+
+def test_cos_unnormalized_auto_stays_off_pallas():
+    # the eligibility gate itself: needs-a-copy cos is pallas-ineligible
+    # unless cached or pre-normalized (platform-independent logic check)
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((64, 8)).astype(np.float32)
+
+    class _Probe(ExactIndex):
+        PALLAS_MIN_DOCS = 1
+
+    import unittest.mock as mock
+    with mock.patch("jax.devices") as dv:
+        dv.return_value = [type("D", (), {"platform": "tpu"})()]
+        assert not _Probe(corpus)._pallas_eligible(8, "cos_sim")
+        assert _Probe(corpus)._pallas_eligible(8, "dot_score")
+        assert _Probe(corpus, normalize=True)._pallas_eligible(8, "cos_sim")
+        assert _Probe(corpus, cache_cos_corpus=True)._pallas_eligible(
+            8, "cos_sim")
 
 
 def test_pack_pair_round_trip_exact():
