@@ -1,0 +1,171 @@
+"""IVF-PQ hybrid index: exactness vs reconstruction golden, residual
+quality, refine, sharding, streaming, tuning, persistence arrays."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qst_tpu.retrieval import ExactIndex
+from qst_tpu.retrieval.ivfpq import IVFPQIndex
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus():
+    # Noise 1.0 (vs center scale 4): clustered but NOT near-duplicate.
+    # Tighter clusters make within-cluster top-10 ranking ill-conditioned
+    # (cosine ties ~1e-4, below PQ quantization noise), which measures the
+    # data's degeneracy rather than the index's recall.
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((16, 32)) * 4
+    docs = np.concatenate([
+        centers[i] + rng.standard_normal((64, 32)) * 1.0 for i in range(16)
+    ]).astype(np.float32)
+    return docs
+
+
+@pytest.fixture(scope="module")
+def queries(clustered_corpus):
+    rng = np.random.default_rng(1)
+    return clustered_corpus[rng.choice(len(clustered_corpus), 24)] \
+        + rng.standard_normal((24, 32)).astype(np.float32) * 0.1
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _golden_over_recon(index, q, k):
+    recon = index.reconstruct_rows()          # (N, D) reconstructions
+    S = _norm(q) @ recon.T
+    idx = np.argsort(-S, axis=1)[:, :k]
+    return np.take_along_axis(S, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_full_probe_matches_reconstruction_golden(clustered_corpus,
+                                                  queries, residual):
+    """n_probe = n_cells scans every cell — scores must equal brute-force
+    cosine over the index's own PQ reconstructions (the exactness
+    contract tune_n_probe's ground truth relies on)."""
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     residual=residual)
+    gs, gi = _golden_over_recon(idx, queries, 5)
+    s, ids = idx.search(queries, k=5, n_probe=16, refine_factor=0)
+    got = np.array([[j for j in row] for row in ids])
+    np.testing.assert_array_equal(got, gi)
+    np.testing.assert_allclose(s, gs, rtol=2e-4, atol=2e-4)
+
+
+def test_recall_vs_exact_with_refine(clustered_corpus, queries):
+    exact = ExactIndex(clustered_corpus, normalize=True)
+    _, exact_ids = exact.search_ids(_norm(queries), k=10)
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     keep_rows=True)
+    s, got = idx.search(queries, k=10, n_probe=4, refine_factor=4)
+    recall = np.mean([
+        len(set(a) & set(b)) / 10 for a, b in zip(exact_ids, got)])
+    assert recall > 0.85, f"refined recall@10 too low: {recall}"
+    # refined scores are exact cosines of the returned docs
+    cn = _norm(clustered_corpus)
+    qn = _norm(queries)
+    for r, (srow, irow) in enumerate(zip(s, got)):
+        for sc, j in zip(srow, irow):
+            np.testing.assert_allclose(sc, qn[r] @ cn[j], rtol=2e-2,
+                                       atol=2e-2)  # bf16 refine rows
+
+
+def test_residual_encoding_reconstructs_finer(clustered_corpus):
+    """The point of residual encoding: same m bytes/doc, lower
+    reconstruction error (residual magnitudes shrink with cell radius)."""
+    base = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                      residual=False)
+    res = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     residual=True)
+    rows = _norm(clustered_corpus)
+    mse_base = float(np.mean((base.reconstruct_rows() - rows) ** 2))
+    mse_res = float(np.mean((res.reconstruct_rows() - rows) ** 2))
+    assert mse_res < mse_base, (mse_res, mse_base)
+
+
+def test_nothing_dropped(clustered_corpus):
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0)
+    stored = set(int(j) for j in np.asarray(idx.cell_ids).ravel() if j >= 0)
+    assert stored == set(range(len(clustered_corpus)))
+
+
+def test_sharded_matches_single(clustered_corpus, queries, mesh8):
+    single = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0)
+    sharded = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                         mesh=mesh8)
+    for n_probe in (4, 16):
+        s1, i1 = single.search(queries, k=5, n_probe=n_probe,
+                               refine_factor=0)
+        s2, i2 = sharded.search(queries, k=5, n_probe=n_probe,
+                                refine_factor=0)
+        assert i1 == i2
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_search_stream_matches_search(clustered_corpus, queries):
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     keep_rows=True)
+    batches = [queries[:8], queries[8:16], queries[16:]]
+    streamed = list(idx.search_stream(iter(batches), k=5, n_probe=4,
+                                      depth=2, refine_factor=4))
+    s_all, ids_all = idx.search(queries, k=5, n_probe=4, refine_factor=4)
+    got_s = np.concatenate([s for s, _ in streamed])
+    got_i = np.concatenate([i for _, i in streamed])
+    np.testing.assert_allclose(got_s, s_all, rtol=1e-5, atol=1e-5)
+    flat_ids = np.array([[j for j in row] for row in ids_all])
+    np.testing.assert_array_equal(got_i, flat_ids)
+
+
+def test_tune_n_probe(clustered_corpus, queries):
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0)
+    best, curve = idx.tune_n_probe(queries, k=10, target_recall=0.9)
+    assert best in curve and curve[best] >= 0.9
+    assert idx.default_n_probe == best
+    with pytest.raises(ValueError, match="no candidates"):
+        idx.tune_n_probe(queries, candidates=[16, 0])
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.tune_n_probe(np.zeros((0, 32), np.float32))
+    with pytest.warns(UserWarning, match="exhaustive full probe"):
+        idx.tune_n_probe(queries, k=10, target_recall=1.0, candidates=[1],
+                         set_default=False)
+
+
+def test_from_arrays_roundtrip(clustered_corpus, queries):
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     keep_rows=True, default_n_probe=4)
+    re = IVFPQIndex.from_arrays(
+        np.asarray(idx.centroids), np.asarray(idx.cell_codes),
+        np.asarray(idx.cell_ids), np.asarray(idx.codebooks),
+        np.asarray(idx.fill), ids=idx.ids, default_n_probe=4,
+        residual=idx.residual,
+        refine_rows=np.asarray(idx._refine_rows, np.float32))
+    s1, i1 = idx.search(queries, k=5, refine_factor=4)
+    s2, i2 = re.search(queries, k=5, refine_factor=4)
+    assert i1 == i2
+    np.testing.assert_allclose(s1, s2, rtol=1e-2, atol=1e-2)
+
+
+def test_validation(clustered_corpus):
+    with pytest.raises(ValueError, match="not divisible"):
+        IVFPQIndex(clustered_corpus, n_clusters=16, m=24)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        IVFPQIndex(clustered_corpus, n_clusters=16, m=4)
+    with pytest.raises(ValueError, match="n_clusters"):
+        IVFPQIndex(clustered_corpus, n_clusters=len(clustered_corpus))
+    with pytest.raises(ValueError, match="keep_rows"):
+        IVFPQIndex(clustered_corpus, n_clusters=16, m=8, keep_rows="f64")
+    with pytest.raises(ValueError, match="ids length"):
+        IVFPQIndex(clustered_corpus, n_clusters=16, m=8, ids=[1, 2])
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8)
+    with pytest.raises(ValueError, match="cos_sim/dot_score"):
+        idx.search(np.zeros((2, 32), np.float32), score="euclid_score")
+    with pytest.raises(ValueError, match="refine_factor needs"):
+        idx.search(np.zeros((2, 32), np.float32), refine_factor=2)
+    with pytest.raises(ValueError, match="depth"):
+        list(idx.search_stream([np.zeros((2, 32), np.float32)], depth=0))
