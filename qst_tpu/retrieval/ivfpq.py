@@ -61,6 +61,14 @@ from qst_tpu.retrieval.pq import (
     _decode_onehot,
     _refine_rescore,
 )
+from qst_tpu.retrieval.pq4 import (
+    K4,
+    block_codebooks,
+    decode4_rows,
+    pq4_encode,
+    pq4_train,
+    validate_pq4_dims,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_iters"))
@@ -113,6 +121,22 @@ def _decode_rows(codes_flat: jax.Array, cb: jax.Array) -> jax.Array:
     return recon.reshape(T, -1)
 
 
+def _decode_any(codes_flat: jax.Array, cb: jax.Array,
+                bits: int) -> jax.Array:
+    """Dispatch the row decode on the code width. ``bits=8``: per-subspace
+    256-way one-hot matmuls against (m, 256, ds) codebooks. ``bits=4``:
+    the fast-scan block-diagonal matmul against blocked codebooks from
+    :func:`qst_tpu.retrieval.pq4.block_codebooks` — ~8× less decode
+    silicon at the same bytes/doc (see pq4 module docstring)."""
+    if bits == 8:
+        return _decode_rows(codes_flat, cb)
+    T = codes_flat.shape[0]
+    DC = min(PQ_TILE, T)
+    sub = codes_flat.reshape(T // DC, DC, codes_flat.shape[1])
+    recon = jax.lax.map(lambda c: decode4_rows(c, cb), sub)
+    return recon.reshape(T, -1)
+
+
 def _pad_to(x: jax.Array, quantum: int) -> jax.Array:
     T = x.shape[0]
     pad = (-T) % quantum
@@ -121,12 +145,15 @@ def _pad_to(x: jax.Array, quantum: int) -> jax.Array:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("n_probe", "k", "residual"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_probe", "k", "residual", "bits"))
 def _ivfpq_search(queries, centroids, cell_codes, cell_ids, codebooks,
-                  n_probe: int, k: int, residual: bool
+                  n_probe: int, k: int, residual: bool, bits: int = 8
                   ) -> Tuple[jax.Array, jax.Array]:
-    """queries (Q, D); cell_codes (C, L, m) uint8; cell_ids (C, L) int32
-    (-1 = padding); → (scores (Q, kc) f32, global doc ids (Q, kc))."""
+    """queries (Q, D); cell_codes (C, L, m) uint8 (packed nibble pairs
+    when bits=4); cell_ids (C, L) int32 (-1 = padding); ``codebooks`` is
+    (m, 256, ds) for bits=8 and the BLOCKED (packs, g·16, g·ds) decode
+    matrices for bits=4; → (scores (Q, kc) f32, global doc ids (Q, kc))."""
     Q = queries.shape[0]
     C, L, m = cell_codes.shape
     qf = l2_normalize(queries.astype(jnp.float32))
@@ -144,7 +171,7 @@ def _ivfpq_search(queries, centroids, cell_codes, cell_ids, codebooks,
         codes = cell_codes[pid]                             # (Q, L, m)
         ids = cell_ids[pid]                                 # (Q, L)
         flat = _pad_to(codes.reshape(Q * L, m), PQ_TILE)
-        recon = _decode_rows(flat, cb)[: Q * L].reshape(Q, L, -1)
+        recon = _decode_any(flat, cb, bits)[: Q * L].reshape(Q, L, -1)
         s = jnp.einsum("qd,qld->ql", qc, recon,
                        preferred_element_type=jnp.float32)
         if residual:
@@ -166,7 +193,7 @@ def _ivfpq_search(queries, centroids, cell_codes, cell_ids, codebooks,
 
 def _sharded_ivfpq_search_fn(mesh: Mesh, n_probe: int, k: int,
                              cells_per_shard: int, budget: int,
-                             residual: bool):
+                             residual: bool, bits: int = 8):
     """Cell tensors sharded over ALL mesh devices on the cell axis: every
     shard computes the SAME global probe list from replicated centroids,
     scans only the probed cells it owns (masked clamp-gather on the code
@@ -200,7 +227,7 @@ def _sharded_ivfpq_search_fn(mesh: Mesh, n_probe: int, k: int,
             codes = codes_shard[pid_c]                      # (Q, L, m)
             ids = jnp.where(in_range[:, None], ids_shard[pid_c], -1)
             flat = _pad_to(codes.reshape(Q * L, m), PQ_TILE)
-            recon = _decode_rows(flat, cb)[: Q * L].reshape(Q, L, -1)
+            recon = _decode_any(flat, cb, bits)[: Q * L].reshape(Q, L, -1)
             s = jnp.einsum("qd,qld->ql", qc, recon,
                            preferred_element_type=jnp.float32)
             if residual:
@@ -234,6 +261,55 @@ def _sharded_ivfpq_search_fn(mesh: Mesh, n_probe: int, k: int,
     )
 
 
+class IncrementalCellFill:
+    """Host-side budgeted cell fill for CHUNKED builds (corpora beyond
+    host RAM, generated or streamed chunk by chunk): the vectorized
+    round-based spill policy of :func:`qst_tpu.retrieval.ivf._fill_cells`
+    applied incrementally — each chunk's docs take their best remaining
+    choice, ranked stably within a cell, spilling to later choices when
+    the running fill hits the budget. Only (B, R) int32 choice tables and
+    (B,) placements touch the host; codes scatter on device."""
+
+    def __init__(self, n_clusters: int, budget: int):
+        self.fill = np.zeros(n_clusters, np.int64)
+        self.budget = int(budget)
+        self.spilled = 0
+
+    def place(self, choices: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, R) best-first cell choices → (cell (B,), slot (B,)) int64.
+        Raises if any doc exhausts its R choices (budget too small)."""
+        choices = np.asarray(choices)
+        B, R = choices.shape
+        cell = np.full(B, -1, np.int64)
+        slot = np.full(B, -1, np.int64)
+        un = np.arange(B)
+        for r in range(R):
+            if not len(un):
+                break
+            cand = choices[un, r].astype(np.int64)
+            order = np.argsort(cand, kind="stable")
+            sc = cand[order]
+            # rank within each equal-cell run
+            starts = np.r_[0, np.nonzero(np.diff(sc))[0] + 1]
+            run_len = np.diff(np.r_[starts, len(sc)])
+            rank = np.arange(len(sc)) - np.repeat(starts, run_len)
+            pos = self.fill[sc] + rank
+            ok = pos < self.budget
+            placed = un[order[ok]]
+            cell[placed] = sc[ok]
+            slot[placed] = pos[ok]
+            self.fill += np.bincount(sc[ok], minlength=len(self.fill))
+            if r > 0:
+                self.spilled += int(ok.sum())
+            un = un[order[~ok]]
+        if len(un):
+            raise ValueError(
+                f"{len(un)} docs exhausted their {R} cell choices — "
+                f"raise cell_budget or spill_rounds")
+        return cell, slot
+
+
 class IVFPQIndex:
     """Approximate cosine index: k-means cells holding PQ codes.
 
@@ -254,25 +330,31 @@ class IVFPQIndex:
                  spill_rounds: int = 4, mesh: Optional[Mesh] = None,
                  assign_chunk: int = 1 << 20, encode_chunk: int = 1 << 16,
                  default_n_probe: int = 8, residual: bool = True,
-                 keep_rows=False):
+                 keep_rows=False, bits: int = 8):
         emb = embeddings if isinstance(embeddings, jax.Array) \
             else np.asarray(embeddings)
         n, d = emb.shape
         if n_clusters >= n:
             raise ValueError("n_clusters must be < number of docs")
-        if d % m != 0:
-            raise ValueError(f"dim {d} not divisible by m={m}")
+        if bits not in (4, 8):
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
         if m % 8 != 0:
             raise ValueError(f"m must be a multiple of 8, got {m}")
-        if n < K_CENTROIDS:
+        if bits == 4:
+            # m stays BYTES per doc: 2m nibble subspaces of d/(2m) dims
+            validate_pq4_dims(d, 2 * m)
+        elif d % m != 0:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        if n < (K4 if bits == 4 else K_CENTROIDS):
             raise ValueError(
-                f"need >= {K_CENTROIDS} docs to train PQ codebooks "
-                f"(got {n})")
+                f"need >= {K4 if bits == 4 else K_CENTROIDS} docs to "
+                f"train PQ codebooks (got {n})")
         if n > train_sample and n_clusters > train_sample:
             raise ValueError(
                 f"n_clusters={n_clusters} exceeds train_sample="
                 f"{train_sample}")
         self.m, self.dim, self.n_docs = m, d, n
+        self.bits = bits
         self.residual = bool(residual)
         self.default_n_probe = default_n_probe
         self.ids = list(ids) if ids is not None else list(range(n))
@@ -297,11 +379,14 @@ class IVFPQIndex:
         #    default: subtract each sample row's own cell centroid)
         pk, key = jax.random.split(key)
         sample_n = l2_normalize(sample.astype(jnp.float32))
-        if self.residual:
-            train_vecs = sample_n - centroids[sample_assign]
-            self.codebooks = pq_train_raw(train_vecs, pk, m, pq_iters)
+        train_vecs = sample_n - centroids[sample_assign] \
+            if self.residual else sample_n
+        if bits == 4:
+            self.codebooks = pq4_train(train_vecs, pk, 2 * m, pq_iters)
         else:
-            self.codebooks = pq_train_raw(sample_n, pk, m, pq_iters)
+            self.codebooks = pq_train_raw(train_vecs, pk, m, pq_iters)
+        self._cb_search = block_codebooks(self.codebooks) \
+            if bits == 4 else self.codebooks
         del sample, sample_n
 
         # 3) chunked full-corpus assignment (only the (N, R) int32 choice
@@ -366,7 +451,8 @@ class IVFPQIndex:
             rows_n = l2_normalize(chunk.astype(jnp.float32))
             enc_in = rows_n - centroids[cell_dev[lo:hi]] \
                 if self.residual else rows_n
-            codes_dev = pq_encode_raw(enc_in, self.codebooks)
+            codes_dev = pq4_encode(enc_in, self.codebooks) if bits == 4 \
+                else pq_encode_raw(enc_in, self.codebooks)
             rows_dev = None
             if keep_rows == "int8":
                 rows_dev = jnp.clip(jnp.round(rows_n * 127.0),
@@ -416,11 +502,13 @@ class IVFPQIndex:
     def from_arrays(cls, centroids, cell_codes, cell_ids, codebooks, fill,
                     ids: Optional[list] = None, mesh: Optional[Mesh] = None,
                     default_n_probe: int = 8, residual: bool = True,
-                    refine_rows: Optional[np.ndarray] = None
-                    ) -> "IVFPQIndex":
+                    refine_rows: Optional[np.ndarray] = None,
+                    bits: int = 8) -> "IVFPQIndex":
         """Rebuild from persisted arrays — no k-means, no encode (the
         Retriever reload path)."""
         self = cls.__new__(cls)
+        if bits not in (4, 8):
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
         cell_codes = np.asarray(cell_codes, np.uint8)
         cell_ids = np.asarray(cell_ids, np.int32)
         if cell_codes.ndim != 3 or cell_ids.shape != cell_codes.shape[:2]:
@@ -431,11 +519,15 @@ class IVFPQIndex:
         self.codebooks = jnp.asarray(codebooks, jnp.float32)
         m = cell_codes.shape[-1]
         d = int(self.centroids.shape[1])
-        if self.codebooks.shape != (m, K_CENTROIDS, d // m):
+        want = (2 * m, K4, d // (2 * m)) if bits == 4 \
+            else (m, K_CENTROIDS, d // m)
+        if self.codebooks.shape != want:
             raise ValueError(
-                f"codebooks shape {self.codebooks.shape} != "
-                f"{(m, K_CENTROIDS, d // m)}")
+                f"codebooks shape {self.codebooks.shape} != {want}")
         self.m, self.dim = m, d
+        self.bits = bits
+        self._cb_search = block_codebooks(self.codebooks) \
+            if bits == 4 else self.codebooks
         self.residual = bool(residual)
         self.default_n_probe = default_n_probe
         self.fill = jnp.asarray(np.asarray(fill, np.int32))
@@ -461,6 +553,68 @@ class IVFPQIndex:
         self._install_cells(cell_codes, cell_ids, mesh)
         return self
 
+    @classmethod
+    def from_device_arrays(cls, centroids, cell_codes, cell_ids, codebooks,
+                           ids=None, default_n_probe: int = 8,
+                           residual: bool = True, bits: int = 8,
+                           refine_rows: Optional[np.ndarray] = None
+                           ) -> "IVFPQIndex":
+        """Adopt DEVICE-resident cell tensors in place (single-device) —
+        the 100M-scale build path: codes are generated, encoded, and
+        scattered on device and never round-trip through the host relay
+        (the :meth:`qst_tpu.retrieval.pq.PQIndex.from_codes` adoption
+        pattern). ``ids=None`` stores a ``range`` (O(1) host memory at
+        any corpus size)."""
+        if bits not in (4, 8):
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
+        if not (isinstance(cell_codes, jax.Array)
+                and cell_codes.dtype == jnp.uint8 and cell_codes.ndim == 3):
+            raise ValueError("cell_codes must be a device (C, L, m) uint8 "
+                             "array — use from_arrays for host arrays")
+        self = cls.__new__(cls)
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.codebooks = jnp.asarray(codebooks, jnp.float32)
+        C, L, m = cell_codes.shape
+        d = int(self.centroids.shape[1])
+        want = (2 * m, K4, d // (2 * m)) if bits == 4 \
+            else (m, K_CENTROIDS, d // m)
+        if self.codebooks.shape != want:
+            raise ValueError(
+                f"codebooks shape {self.codebooks.shape} != {want}")
+        self.m, self.dim, self.bits = m, d, bits
+        self._cb_search = block_codebooks(self.codebooks) \
+            if bits == 4 else self.codebooks
+        self.residual = bool(residual)
+        self.default_n_probe = default_n_probe
+        self.mesh = None
+        self._search_fns = {}
+        self.cell_codes = cell_codes
+        self.cell_ids = jnp.asarray(cell_ids, jnp.int32)
+        if self.cell_ids.shape != (C, L):
+            raise ValueError(
+                f"cell_ids {self.cell_ids.shape} != {(C, L)}")
+        self.fill = jnp.sum(self.cell_ids >= 0, axis=1).astype(jnp.int32)
+        n = int(jnp.sum(self.fill))
+        self.n_docs = n
+        self.cell_budget = L
+        self.spilled = 0
+        self.ids = list(ids) if ids is not None else range(n)
+        if len(self.ids) != n:
+            raise ValueError("ids length mismatch")
+        self._refine_rows = None
+        self._refine_scale = 1.0
+        if refine_rows is not None:
+            refine_rows = np.asarray(refine_rows)
+            if refine_rows.shape != (n, d):
+                raise ValueError(
+                    f"refine_rows shape {refine_rows.shape} != {(n, d)}")
+            if refine_rows.dtype == np.int8:
+                self._refine_rows = refine_rows
+                self._refine_scale = 127.0
+            else:
+                self._refine_rows = refine_rows.astype(jnp.bfloat16)
+        return self
+
     def bytes_per_doc(self) -> int:
         return self.m
 
@@ -477,7 +631,8 @@ class IVFPQIndex:
         in id order (centroid + decoded residual when ``residual``) — the
         exactness golden for tests and the full-probe ground truth."""
         C, L, m = self.cell_codes.shape
-        cb = self.codebooks.astype(jnp.float32)
+        cb = self._cb_search.astype(jnp.float32) if self.bits == 4 \
+            else self.codebooks.astype(jnp.float32)
         out = np.empty((self.n_docs, self.dim), np.float32)
         cent = np.asarray(self.centroids, np.float32)
         codes = np.asarray(self.cell_codes).reshape(C * L, m)
@@ -489,9 +644,9 @@ class IVFPQIndex:
             valid = ids >= 0
             if not valid.any():
                 continue
-            dec = np.asarray(_decode_rows(
+            dec = np.asarray(_decode_any(
                 _pad_to(jnp.asarray(codes[lo:hi]), PQ_TILE),
-                cb))[: hi - lo].astype(np.float32)
+                cb, self.bits))[: hi - lo].astype(np.float32)
             if self.residual:
                 dec = dec + cent[(np.arange(lo, hi) // L)]
             out[ids[valid]] = dec[valid]
@@ -503,13 +658,13 @@ class IVFPQIndex:
             if key not in self._search_fns:
                 self._search_fns[key] = _sharded_ivfpq_search_fn(
                     self.mesh, n_probe, k, self.cells_per_shard,
-                    self.cell_budget, self.residual)
+                    self.cell_budget, self.residual, self.bits)
             return self._search_fns[key](q, self.centroids,
                                          self.cell_codes, self.cell_ids,
-                                         self.codebooks)
+                                         self._cb_search)
         return _ivfpq_search(q, self.centroids, self.cell_codes,
-                             self.cell_ids, self.codebooks, n_probe, k,
-                             self.residual)
+                             self.cell_ids, self._cb_search, n_probe, k,
+                             self.residual, self.bits)
 
     def _device_search_retriever(self, q, k: int, score: str = "cos_sim",
                                  tile: int = 0, backend: str = "auto"):

@@ -43,26 +43,38 @@ def _golden_over_recon(index, q, k):
     return np.take_along_axis(S, idx, axis=1), idx
 
 
+@pytest.mark.parametrize("bits", [8, 4])
 @pytest.mark.parametrize("residual", [True, False])
 def test_full_probe_matches_reconstruction_golden(clustered_corpus,
-                                                  queries, residual):
+                                                  queries, residual, bits):
     """n_probe = n_cells scans every cell — scores must equal brute-force
     cosine over the index's own PQ reconstructions (the exactness
-    contract tune_n_probe's ground truth relies on)."""
+    contract tune_n_probe's ground truth relies on), for both the 8-bit
+    decode and the 4-bit fast-scan block-diagonal decode."""
     idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
-                     residual=residual)
+                     residual=residual, bits=bits)
     gs, gi = _golden_over_recon(idx, queries, 5)
     s, ids = idx.search(queries, k=5, n_probe=16, refine_factor=0)
     got = np.array([[j for j in row] for row in ids])
-    np.testing.assert_array_equal(got, gi)
     np.testing.assert_allclose(s, gs, rtol=2e-4, atol=2e-4)
+    # ids must match rank-for-rank except where reconstructions tie
+    # exactly (4-bit non-residual: docs sharing a code word share a score)
+    recon = idx.reconstruct_rows()
+    S = _norm(queries) @ recon.T
+    mismatch = got != gi
+    if mismatch.any():
+        rows, cols = np.nonzero(mismatch)
+        np.testing.assert_allclose(S[rows, got[rows, cols]],
+                                   S[rows, gi[rows, cols]],
+                                   rtol=1e-6, atol=1e-6)
 
 
-def test_recall_vs_exact_with_refine(clustered_corpus, queries):
+@pytest.mark.parametrize("bits", [8, 4])
+def test_recall_vs_exact_with_refine(clustered_corpus, queries, bits):
     exact = ExactIndex(clustered_corpus, normalize=True)
     _, exact_ids = exact.search_ids(_norm(queries), k=10)
     idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
-                     keep_rows=True)
+                     keep_rows=True, bits=bits)
     s, got = idx.search(queries, k=10, n_probe=4, refine_factor=4)
     recall = np.mean([
         len(set(a) & set(b)) / 10 for a, b in zip(exact_ids, got)])
@@ -95,10 +107,12 @@ def test_nothing_dropped(clustered_corpus):
     assert stored == set(range(len(clustered_corpus)))
 
 
-def test_sharded_matches_single(clustered_corpus, queries, mesh8):
-    single = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0)
+@pytest.mark.parametrize("bits", [8, 4])
+def test_sharded_matches_single(clustered_corpus, queries, mesh8, bits):
+    single = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                        bits=bits)
     sharded = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
-                         mesh=mesh8)
+                         mesh=mesh8, bits=bits)
     for n_probe in (4, 16):
         s1, i1 = single.search(queries, k=5, n_probe=n_probe,
                                refine_factor=0)
@@ -136,19 +150,51 @@ def test_tune_n_probe(clustered_corpus, queries):
                          set_default=False)
 
 
-def test_from_arrays_roundtrip(clustered_corpus, queries):
+@pytest.mark.parametrize("bits", [8, 4])
+def test_from_arrays_roundtrip(clustered_corpus, queries, bits):
     idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
-                     keep_rows=True, default_n_probe=4)
+                     keep_rows=True, default_n_probe=4, bits=bits)
     re = IVFPQIndex.from_arrays(
         np.asarray(idx.centroids), np.asarray(idx.cell_codes),
         np.asarray(idx.cell_ids), np.asarray(idx.codebooks),
         np.asarray(idx.fill), ids=idx.ids, default_n_probe=4,
-        residual=idx.residual,
+        residual=idx.residual, bits=bits,
         refine_rows=np.asarray(idx._refine_rows, np.float32))
     s1, i1 = idx.search(queries, k=5, refine_factor=4)
     s2, i2 = re.search(queries, k=5, refine_factor=4)
     assert i1 == i2
     np.testing.assert_allclose(s1, s2, rtol=1e-2, atol=1e-2)
+
+
+def test_4bit_quality_close_to_8bit(clustered_corpus):
+    """Same bytes/doc: the 4-bit reconstruction error may exceed 8-bit's
+    but must stay the same order of magnitude (the refine stage absorbs
+    the difference — measured end-to-end on chip in RESULTS.md)."""
+    rows = _norm(clustered_corpus)
+    e8 = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0)
+    e4 = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0, bits=4)
+    mse8 = float(np.mean((e8.reconstruct_rows() - rows) ** 2))
+    mse4 = float(np.mean((e4.reconstruct_rows() - rows) ** 2))
+    assert mse4 < 10 * mse8, (mse4, mse8)
+
+
+def test_pq4_roundtrip_unit():
+    """pack/unpack/decode plumbing: encoding the codebook centroids
+    themselves reconstructs them exactly."""
+    from qst_tpu.retrieval.pq4 import (
+        pq4_encode, pq4_reconstruct, pq4_train, unpack_nibbles)
+    rng = np.random.default_rng(3)
+    sample = rng.standard_normal((512, 32)).astype(np.float32)
+    cb = pq4_train(jnp.asarray(sample), jax.random.key(0), 16)
+    packed = pq4_encode(jnp.asarray(sample), cb)
+    assert packed.shape == (512, 8) and packed.dtype == jnp.uint8
+    codes = np.asarray(unpack_nibbles(packed))
+    assert codes.shape == (512, 16) and codes.max() < 16
+    # centroids encode to themselves
+    cents = np.asarray(cb).transpose(1, 0, 2).reshape(16, 32)
+    rec = np.asarray(pq4_reconstruct(
+        pq4_encode(jnp.asarray(cents), cb), cb))
+    np.testing.assert_allclose(rec, cents, rtol=1e-5, atol=1e-5)
 
 
 def test_validation(clustered_corpus):
@@ -169,3 +215,56 @@ def test_validation(clustered_corpus):
         idx.search(np.zeros((2, 32), np.float32), refine_factor=2)
     with pytest.raises(ValueError, match="depth"):
         list(idx.search_stream([np.zeros((2, 32), np.float32)], depth=0))
+
+
+def test_incremental_fill_matches_global(clustered_corpus):
+    """One-chunk IncrementalCellFill == the global _fill_cells placement;
+    chunked placement keeps every doc within budget and drops nothing."""
+    from qst_tpu.retrieval.ivf import _assign_choices, _fill_cells, kmeans
+    from qst_tpu.retrieval.ivfpq import IncrementalCellFill
+
+    docs = jnp.asarray(clustered_corpus)
+    cents, _ = kmeans(docs, jax.random.key(0), 16, 5)
+    choices = np.asarray(_assign_choices(docs, cents, 4))
+    budget = 128
+    g_cell, g_slot, g_spill = _fill_cells(choices, 16, budget)
+
+    inc = IncrementalCellFill(16, budget)
+    c1, s1 = inc.place(choices)
+    np.testing.assert_array_equal(c1, g_cell)
+    np.testing.assert_array_equal(s1, g_slot)
+    assert inc.spilled == g_spill
+
+    inc2 = IncrementalCellFill(16, budget)
+    parts = [inc2.place(choices[:400]), inc2.place(choices[400:])]
+    cell = np.concatenate([p[0] for p in parts])
+    slot = np.concatenate([p[1] for p in parts])
+    assert (cell >= 0).all() and (slot < budget).all()
+    # (cell, slot) pairs unique -> no doc overwrites another
+    flat = cell * budget + slot
+    assert len(np.unique(flat)) == len(flat)
+    np.testing.assert_array_equal(
+        np.bincount(cell, minlength=16), inc2.fill)
+
+    tiny = IncrementalCellFill(16, 2)
+    with pytest.raises(ValueError, match="exhausted"):
+        tiny.place(choices)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_from_device_arrays_adoption(clustered_corpus, queries, bits):
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     default_n_probe=4, bits=bits)
+    re = IVFPQIndex.from_device_arrays(
+        idx.centroids, jnp.asarray(np.asarray(idx.cell_codes)),
+        idx.cell_ids, idx.codebooks, default_n_probe=4,
+        residual=idx.residual, bits=bits)
+    assert isinstance(re.ids, range) and re.n_docs == idx.n_docs
+    s1, i1 = idx.search(queries, k=5, refine_factor=0)
+    s2, i2 = re.search(queries, k=5, refine_factor=0)
+    assert i1 == i2
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="device"):
+        IVFPQIndex.from_device_arrays(
+            idx.centroids, np.asarray(idx.cell_codes), idx.cell_ids,
+            idx.codebooks, bits=bits)
