@@ -41,13 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--index_dir", required=True)
     b.add_argument("--index_dtype", default="float32",
                    choices=["float32", "bfloat16", "int8", "pq", "ivf",
-                            "streaming"],
+                            "ivfpq", "streaming"],
                    help="index storage dtype/kind: bfloat16 scores at MXU "
                    "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
                    "(16x smaller than bf16 at m=48) with exact re-rank "
                    "from host-resident rows; ivf is the approximate "
-                   "k-means-cell index (n_probe cells scanned per query)")
+                   "k-means-cell index (n_probe cells scanned per query); "
+                   "ivfpq holds PQ codes inside IVF cells — m bytes/doc "
+                   "AND only probed cells decode per query")
     b.add_argument("--pq_m", type=int, default=48,
                    help="PQ subspaces (= bytes/doc) for --index_dtype pq")
     b.add_argument("--ivf_clusters", type=int, default=256,
@@ -55,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--ivf_probe", type=int, default=8,
                    help="cells scanned per query for --index_dtype ivf "
                    "(persisted as the index default)")
+    b.add_argument("--ivfpq_bits", type=int, default=8, choices=[4, 8],
+                   help="code width for --index_dtype ivfpq: 8 = one "
+                   "256-way subspace per byte, 4 = two packed 16-way "
+                   "nibble subspaces per byte (fast-scan decode)")
     b.add_argument("--encoder_preset", default="minilm-l6")
     b.add_argument("--vocab_path", default=None)
     b.add_argument("--model_path",
@@ -71,13 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--index_dir", required=True)
     s.add_argument("--index_dtype", default="float32",
                    choices=["float32", "bfloat16", "int8", "pq", "ivf",
-                            "streaming"],
+                            "ivfpq", "streaming"],
                    help="index storage dtype/kind: bfloat16 scores at MXU "
                    "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
                    "(16x smaller than bf16 at m=48) with exact re-rank "
                    "from host-resident rows; ivf is the approximate "
-                   "k-means-cell index (n_probe cells scanned per query)")
+                   "k-means-cell index (n_probe cells scanned per query); "
+                   "ivfpq holds PQ codes inside IVF cells — m bytes/doc "
+                   "AND only probed cells decode per query")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--max_batch", type=int, default=256)
@@ -108,13 +116,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--index_dir", required=True)
     q.add_argument("--index_dtype", default="float32",
                    choices=["float32", "bfloat16", "int8", "pq", "ivf",
-                            "streaming"],
+                            "ivfpq", "streaming"],
                    help="index storage dtype/kind: bfloat16 scores at MXU "
                    "rate; int8 halves HBM again (2x corpus per chip, "
                    "quantized-exact ranking); pq stores m bytes/doc "
                    "(16x smaller than bf16 at m=48) with exact re-rank "
                    "from host-resident rows; ivf is the approximate "
-                   "k-means-cell index (n_probe cells scanned per query)")
+                   "k-means-cell index (n_probe cells scanned per query); "
+                   "ivfpq holds PQ codes inside IVF cells — m bytes/doc "
+                   "AND only probed cells decode per query")
     q.add_argument("--queries", nargs="+", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--encoder_preset", default="minilm-l6")
@@ -166,7 +176,8 @@ def main(argv=None) -> int:
                               index_dtype=args.index_dtype,
                               pq_m=args.pq_m,
                               ivf_clusters=args.ivf_clusters,
-                              ivf_probe=args.ivf_probe)
+                              ivf_probe=args.ivf_probe,
+                              ivfpq_bits=args.ivfpq_bits)
         if args.index_dtype == "streaming":
             # incremental build-to-disk: the embedding matrix never exists
             # in RAM/HBM whole — index corpora beyond both, then serve with

@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_bool_flag(p, "use_part_pos_examples", True)
     add_bool_flag(p, "use_cross_encoder", False)
     p.add_argument("--eval_index", default="exact",
-                   choices=["exact", "ivf", "pq"],
+                   choices=["exact", "ivf", "pq", "ivfpq"],
                    help="index family the evaluator searches with — ivf/pq "
                    "measure the approximate index's recall cost directly "
                    "on the full IR metric grid (cos/dot score functions "
@@ -229,6 +229,13 @@ def main(argv=None) -> int:
         index_factory = lambda emb, ids, m: PQIndex(
             np.asarray(emb), m=args.eval_pq_m, ids=ids, mesh=m,
             keep_rows=True)
+    elif args.eval_index == "ivfpq":
+        from qst_tpu.retrieval import IVFPQIndex
+
+        index_factory = lambda emb, ids, m: IVFPQIndex(
+            np.asarray(emb), n_clusters=args.eval_ivf_clusters,
+            m=args.eval_pq_m, ids=ids, mesh=m,
+            default_n_probe=args.eval_ivf_probe, keep_rows=True)
     evaluator = InformationRetrievalEvaluator(
         eval_set.queries, eval_set.corpus, eval_set.relevant, cfg=ir_cfg,
         mesh=mesh, log_dir=out_dir, index_factory=index_factory)

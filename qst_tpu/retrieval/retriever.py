@@ -29,6 +29,12 @@ IVF_CENTROIDS_FILE = "ivf_centroids.npy"
 IVF_CELLS_FILE = "ivf_cells.npy"
 IVF_CELL_IDS_FILE = "ivf_cell_ids.npy"
 IVF_FILL_FILE = "ivf_fill.npy"
+IVFPQ_CENTROIDS_FILE = "ivfpq_centroids.npy"
+IVFPQ_CODES_FILE = "ivfpq_cell_codes.npy"
+IVFPQ_CELL_IDS_FILE = "ivfpq_cell_ids.npy"
+IVFPQ_CODEBOOKS_FILE = "ivfpq_codebooks.npy"
+IVFPQ_FILL_FILE = "ivfpq_fill.npy"
+IVFPQ_ROWS_FILE = "ivfpq_refine_rows.npy"
 
 
 def save_index(path: str, embeddings: np.ndarray, ids: Sequence,
@@ -94,6 +100,29 @@ def load_index(path: str, mesh=None,
         raise ValueError(
             f"index at {path} was not saved as an IVF index — rebuild "
             "it with index_dtype='ivf'")
+    if meta.get("dtype") == "ivfpq":
+        if dtype not in (None, "ivfpq"):
+            raise ValueError(
+                f"index at {path} was saved as an IVF-PQ index; it cannot "
+                f"be reloaded as {dtype}")
+        from qst_tpu.retrieval.ivfpq import IVFPQIndex
+
+        rows_path = os.path.join(path, IVFPQ_ROWS_FILE)
+        rows = np.load(rows_path) if os.path.isfile(rows_path) else None
+        return IVFPQIndex.from_arrays(
+            np.load(os.path.join(path, IVFPQ_CENTROIDS_FILE)),
+            np.load(os.path.join(path, IVFPQ_CODES_FILE)),
+            np.load(os.path.join(path, IVFPQ_CELL_IDS_FILE)),
+            np.load(os.path.join(path, IVFPQ_CODEBOOKS_FILE)),
+            np.load(os.path.join(path, IVFPQ_FILL_FILE)),
+            ids=ids, mesh=mesh,
+            default_n_probe=int(meta.get("n_probe", 8)),
+            residual=bool(meta.get("residual", True)),
+            refine_rows=rows, bits=int(meta.get("bits", 8))), meta
+    if dtype == "ivfpq":
+        raise ValueError(
+            f"index at {path} was not saved as an IVF-PQ index — rebuild "
+            "it with index_dtype='ivfpq'")
     if dtype == "streaming":
         # serve a saved corpus LARGER than HBM: the embedding matrix is
         # memory-mapped from disk and streamed through double-buffered
@@ -170,7 +199,8 @@ class Retriever:
     def __init__(self, encoder: Any, mesh=None, score: str = "cos_sim",
                  reranker: Any = None, index_dtype: str = "float32",
                  pq_m: int = 48, pq_rotate: bool = False,
-                 ivf_clusters: int = 256, ivf_probe: int = 8):
+                 ivf_clusters: int = 256, ivf_probe: int = 8,
+                 ivfpq_bits: int = 8):
         """reranker: optional cross-encoder with
         ``predict(pairs) -> scores`` (qst_tpu.models.CrossEncoder) for
         two-stage retrieval: dense top-N candidates → pair re-scoring.
@@ -180,7 +210,11 @@ class Retriever:
         per chip, quantized-exact ranking; see ExactIndex), "pq" for a
         product-quantized index (``pq_m`` bytes/doc in HBM — 16× smaller
         than bf16 at the default m=48 — with the normalized originals
-        kept in HOST RAM for exact top-k re-ranking; see PQIndex)."""
+        kept in HOST RAM for exact top-k re-ranking; see PQIndex), or
+        "ivfpq" for the hybrid (``pq_m`` bytes/doc in k-means cells —
+        only the ``ivf_probe`` probed cells decode per query; see
+        IVFPQIndex; ``ivfpq_bits=4`` switches to packed-nibble fast-scan
+        codes at the same bytes/doc)."""
         self.encoder = encoder
         self.mesh = mesh
         self.score = score
@@ -190,6 +224,7 @@ class Retriever:
         self.pq_rotate = pq_rotate
         self.ivf_clusters = ivf_clusters
         self.ivf_probe = ivf_probe
+        self.ivfpq_bits = ivfpq_bits
         self._index: Optional[Any] = None
         self._doc_texts: List[str] = []
         self._texts_by_id: dict = {}
@@ -253,13 +288,18 @@ class Retriever:
 
         from qst_tpu.retrieval.ivf import IVFIndex
 
-        if isinstance(self.index, PQIndex):
-            if self.index._refine_rows is None:
+        from qst_tpu.retrieval.ivfpq import IVFPQIndex
+
+        if isinstance(self.index, (PQIndex, IVFPQIndex)):
+            if self.index._refine_rows is not None:
+                emb = self.index.refine_rows_f32()
+            elif isinstance(self.index, IVFPQIndex):
+                emb = self.index.reconstruct_rows()
+            else:
                 raise RuntimeError(
                     "a PQ index without refine rows holds only codes — "
                     "rebuild with keep_rows=True (the Retriever build "
                     "default) to convert to an updatable index")
-            emb = self.index.refine_rows_f32()
         elif isinstance(self.index, IVFIndex):
             emb = self.index.reconstruct_rows()
         else:
@@ -358,6 +398,13 @@ class Retriever:
             self.index = IVFIndex(emb, n_clusters=self.ivf_clusters,
                                   ids=ids, mesh=self.mesh,
                                   default_n_probe=self.ivf_probe)
+        elif self.index_dtype == "ivfpq":
+            from qst_tpu.retrieval.ivfpq import IVFPQIndex
+
+            self.index = IVFPQIndex(emb, n_clusters=self.ivf_clusters,
+                                    m=self.pq_m, ids=ids, mesh=self.mesh,
+                                    default_n_probe=self.ivf_probe,
+                                    keep_rows=True, bits=self.ivfpq_bits)
         else:
             self.index = ExactIndex(emb, ids=ids, mesh=self.mesh,
                                     dtype=self.index_dtype)
@@ -447,6 +494,45 @@ class Retriever:
                            "n_probe": int(self.index.default_n_probe),
                            "cell_budget": int(self.index.cell_budget),
                            "score": self.score}, f)
+            with open(os.path.join(path, "docs.json"), "w") as f:
+                json.dump(self._doc_texts, f)
+            return
+
+        from qst_tpu.retrieval.ivfpq import IVFPQIndex
+
+        if isinstance(self.index, IVFPQIndex):
+            # the IVF-PQ artifact is cell codes (m bytes/doc) + centroids
+            # + codebooks; refine rows persist like PQ's (int8 verbatim,
+            # bf16 as f32 — reload re-cast is bit-exact)
+            os.makedirs(path, exist_ok=True)
+            np.save(os.path.join(path, IVFPQ_CODES_FILE),
+                    np.asarray(self.index.cell_codes, np.uint8))
+            np.save(os.path.join(path, IVFPQ_CELL_IDS_FILE),
+                    np.asarray(self.index.cell_ids, np.int32))
+            np.save(os.path.join(path, IVFPQ_CENTROIDS_FILE),
+                    np.asarray(self.index.centroids, np.float32))
+            np.save(os.path.join(path, IVFPQ_CODEBOOKS_FILE),
+                    np.asarray(self.index.codebooks, np.float32))
+            np.save(os.path.join(path, IVFPQ_FILL_FILE),
+                    np.asarray(self.index.fill, np.int32))
+            if self.index._refine_rows is not None:
+                rows = self.index._refine_rows
+                np.save(os.path.join(path, IVFPQ_ROWS_FILE),
+                        rows if rows.dtype == np.int8
+                        else np.asarray(rows, np.float32))
+            with open(os.path.join(path, IDS_FILE), "w") as f:
+                json.dump(list(self.index.ids), f)
+            with open(os.path.join(path, META_FILE), "w") as f:
+                json.dump({"n_docs": int(self.index.n_docs),
+                           "dim": int(self.index.dim), "dtype": "ivfpq",
+                           "m": int(self.index.m),
+                           "bits": int(self.index.bits),
+                           "residual": bool(self.index.residual),
+                           "n_probe": int(self.index.default_n_probe),
+                           "cell_budget": int(self.index.cell_budget),
+                           "score": self.score,
+                           "refine": self.index._refine_rows is not None},
+                          f)
             with open(os.path.join(path, "docs.json"), "w") as f:
                 json.dump(self._doc_texts, f)
             return

@@ -268,3 +268,106 @@ def test_from_device_arrays_adoption(clustered_corpus, queries, bits):
         IVFPQIndex.from_device_arrays(
             idx.centroids, np.asarray(idx.cell_codes), idx.cell_ids,
             idx.codebooks, bits=bits)
+
+
+# ---------------------------------------------------------------------------
+# Retriever / CLI integration (the index-kind parity surface: persistence,
+# streaming, updatable conversion, end-to-end CLI build+query)
+# ---------------------------------------------------------------------------
+
+class _HashEncoder:
+    def encode(self, texts):
+        from helpers import hash_embed
+
+        return hash_embed(list(texts))
+
+
+def _many_docs(n=300):
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    return [f"{topics[i % len(topics)]} document number {i}"
+            for i in range(n)]
+
+
+def test_retriever_ivfpq_build_save_load(tmp_path):
+    from qst_tpu.retrieval import Retriever, load_index
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="ivfpq", pq_m=16,
+                  ivf_clusters=8, ivf_probe=8)
+    r.build(docs, ids=[f"d{i}" for i in range(len(docs))])
+    assert isinstance(r.index, IVFPQIndex)
+    before = r.search(["a cat rests"], k=5, return_texts=True)
+    assert before[0][0][2].startswith("cat")
+
+    r.save(str(tmp_path / "idx"))
+    import os
+    assert os.path.isfile(tmp_path / "idx" / "ivfpq_cell_codes.npy")
+    assert not os.path.isfile(tmp_path / "idx" / "embeddings.npy")
+
+    r2 = Retriever(_HashEncoder(), index_dtype="ivfpq").load(
+        str(tmp_path / "idx"))
+    assert isinstance(r2.index, IVFPQIndex)
+    assert r2.index.default_n_probe == 8
+    after = r2.search(["a cat rests"], k=5, return_texts=True)
+    assert [h[0] for h in before[0]] == [h[0] for h in after[0]]
+    np.testing.assert_allclose([h[1] for h in before[0]],
+                               [h[1] for h in after[0]], rtol=1e-5)
+
+    # dtype cross-loading is rejected both ways
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        load_index(str(tmp_path / "idx"), dtype="bfloat16")
+    r3 = Retriever(_HashEncoder()).build(docs[:5])
+    r3.save(str(tmp_path / "f32"))
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        load_index(str(tmp_path / "f32"), dtype="ivfpq")
+
+
+def test_retriever_ivfpq_search_stream_and_updatable():
+    from qst_tpu.retrieval import Retriever
+
+    docs = _many_docs()
+    r = Retriever(_HashEncoder(), index_dtype="ivfpq", pq_m=16,
+                  ivf_clusters=8, ivf_probe=8).build(docs)
+    got = list(r.search_stream([["a dog runs"], ["pasta dish"]], k=3))
+    assert len(got) == 2 and len(got[0][0]) == 3
+    assert all(isinstance(h[0], int) for h in got[0][0])
+
+    r.to_updatable(capacity=1024)
+    assert r.index.n_docs == len(docs)
+    hits = r.search(["a plane flies"], k=3)
+    assert len(hits[0]) == 3
+
+
+def test_index_cli_ivfpq_build_and_query(tmp_path, capsys):
+    """--index_dtype ivfpq persists cells+codebooks+refine rows; query
+    reloads them without retraining."""
+    import json as _json
+    import os
+
+    from qst_tpu.cli import index_main
+
+    texts = str(tmp_path / "docs.txt")
+    topics = ["cat", "dog", "pasta", "plane", "river"]
+    with open(texts, "w") as f:
+        for i in range(300):
+            f.write(f"{topics[i % 5]} doc number {i}\n")
+    idx_dir = str(tmp_path / "hyidx")
+    rc = index_main.main(["build", "--texts", texts, "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--index_dtype", "ivfpq", "--pq_m", "8",
+                          "--ivf_clusters", "8", "--ivf_probe", "4"])
+    assert rc == 0
+    codes = np.load(os.path.join(idx_dir, "ivfpq_cell_codes.npy"))
+    assert codes.dtype == np.uint8 and codes.ndim == 3 and codes.shape[2] == 8
+    with open(os.path.join(idx_dir, "index_meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["dtype"] == "ivfpq" and meta["m"] == 8 and meta["refine"]
+    assert meta["n_probe"] == 4 and meta["bits"] == 8 and meta["residual"]
+
+    rc = index_main.main(["query", "--index_dir", idx_dir,
+                          "--encoder_preset", "tiny",
+                          "--index_dtype", "ivfpq",
+                          "--queries", "a cat on a rug", "--k", "2"])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["hits"]) == 2

@@ -358,15 +358,18 @@ def test_server_stats_endpoint(server):
 
 
 def test_server_over_pq_and_ivf_indexes():
-    """The HTTP stack serves every index family: PQ (refined scores) and
-    IVF (probed cells) behind the same /search contract."""
+    """The HTTP stack serves every index family: PQ (refined scores), IVF
+    (probed cells), and IVF-PQ (codes in cells) behind the same /search
+    contract."""
     import urllib.request
 
     topics = ["cat", "dog", "pasta", "plane", "river"]
     docs = [f"{topics[i % 5]} doc number {i}" for i in range(400)]
 
     for dtype, kwargs in (("pq", {"pq_m": 16}),
-                          ("ivf", {"ivf_clusters": 16, "ivf_probe": 4})):
+                          ("ivf", {"ivf_clusters": 16, "ivf_probe": 4}),
+                          ("ivfpq", {"pq_m": 16, "ivf_clusters": 16,
+                                     "ivf_probe": 8})):
         r = Retriever(MockEncoder(), index_dtype=dtype, **kwargs).build(docs)
         server = RetrievalServer(r, max_batch=16, max_wait_s=0.002)
         port = server.start()
