@@ -121,17 +121,26 @@ def assign_scan(chunk, centroids, n_choices: int = 4, sub: int = 8192):
 
 def encode_scan(bits: int):
     @functools.partial(jax.jit, static_argnames=("residual", "sub"))
-    def enc(chunk, cents_of_doc, codebooks, residual: bool = True,
+    def enc(chunk, cell, centroids, codebooks, residual: bool = True,
             sub: int = 65536):
+        # normalize + centroid gather + residual all INSIDE the per-block
+        # body: at 100M-doc builds three full-chunk f32 transients
+        # (~4.8 GB) alongside the codes buffer OOM the 16 GB chip;
+        # per-block they are ~100 MB and freed between blocks.
         B = chunk.shape[0]
-        rows = l2_normalize(chunk.astype(jnp.float32))
-        x = rows - cents_of_doc if residual else rows
-        f = ((lambda xs: pq4_encode(xs, codebooks)) if bits == 4
-             else (lambda xs: pq_encode_raw(xs, codebooks)))
+
+        def f(args):
+            xs, cs = args
+            rows = l2_normalize(xs.astype(jnp.float32))
+            x = rows - centroids[cs] if residual else rows
+            return (pq4_encode(x, codebooks) if bits == 4
+                    else pq_encode_raw(x, codebooks))
+
         m_bytes = codebooks.shape[0] // 2 if bits == 4 \
             else codebooks.shape[0]
-        return jax.lax.map(f, x.reshape(B // sub, sub, -1)).reshape(
-            B, m_bytes)
+        return jax.lax.map(
+            f, (chunk.reshape(B // sub, sub, -1),
+                cell.reshape(B // sub, sub))).reshape(B, m_bytes)
 
     return enc
 
@@ -165,18 +174,57 @@ def build_on_device(gen, n_docs, d, n_clusters, budget, m, bits,
         print(f"  trained C={n_clusters} + PQ{bits} in "
               f"{time.perf_counter()-t0:.0f}s", flush=True)
 
-    filler = IncrementalCellFill(n_clusters, budget)
+    # ---- pass A: assign every chunk, then pick the smallest cell budget
+    # that places the WHOLE corpus (spill trials on the host-resident
+    # choice tables). A fixed headroom guess cannot survive clustered
+    # corpora — their per-cell demand is heavy-tailed (measured: 1.30×
+    # mean with 8 spill choices still exhausts near the 80% fill mark at
+    # 100M docs), and the budget must be known before the (C·L, m) codes
+    # buffer is allocated. Choices download as int16 (C ≤ 32768) — half
+    # the relay bytes of int32.
+    n_chunks = n_docs // CHUNK
+    cdtype = np.int16 if n_clusters <= 32768 else np.int32
+    all_choices = []
+    for i in range(n_chunks):
+        ch = np.asarray(
+            assign_scan(gen(jnp.int32(i)), centroids, n_choices=16))
+        all_choices.append(ch.astype(cdtype))
+    if verbose:
+        print(f"  assigned {n_chunks} chunks in "
+              f"{time.perf_counter()-t0:.0f}s", flush=True)
+    mean_fill = n_docs / n_clusters
+    placements = None
+    for mult in (budget / mean_fill, 1.5, 1.75, 2.0):
+        L = int(np.ceil(mean_fill * mult / 128)) * 128
+        if n_clusters * L * m > 9e9:    # codes-buffer HBM cap
+            break
+        filler = IncrementalCellFill(n_clusters, L)
+        try:
+            placements = [filler.place(c.astype(np.int64))
+                          for c in all_choices]
+            budget = L
+            break
+        except ValueError:
+            placements = None
+    if placements is None:
+        raise RuntimeError("no cell budget under the HBM cap places the "
+                           "corpus — raise n_clusters")
+    if verbose:
+        print(f"  placed with budget L={budget} "
+              f"({budget / mean_fill:.2f}x mean, spilled "
+              f"{filler.spilled:,}) at {time.perf_counter()-t0:.0f}s",
+              flush=True)
+
+    # ---- pass B: regenerate chunks, encode against their placed cells,
+    # scatter into the now-correctly-sized buffers
     codes_buf = jnp.zeros((n_clusters * budget, m), jnp.uint8)
     ids_buf = jnp.full((n_clusters * budget,), -1, jnp.int32)
     enc = encode_scan(bits)
-    n_chunks = n_docs // CHUNK
-    for i in range(n_chunks):
+    for i, (cell, slot) in enumerate(placements):
         chunk = gen(jnp.int32(i))
-        choices = np.asarray(assign_scan(chunk, centroids))
-        cell, slot = filler.place(choices)
         pos = jnp.asarray(cell * budget + slot)
-        cents_of_doc = centroids[jnp.asarray(cell)]
-        codes = enc(chunk, cents_of_doc, codebooks, residual)
+        codes = enc(chunk, jnp.asarray(cell), centroids, codebooks,
+                    residual)
         codes_buf = scatter_rows(codes_buf, pos, codes)
         ids_buf = scatter_ids(
             ids_buf, pos,
@@ -184,8 +232,7 @@ def build_on_device(gen, n_docs, d, n_clusters, budget, m, bits,
         if verbose and (i + 1) % 16 == 0:
             codes_buf.block_until_ready()
             print(f"  chunk {i+1}/{n_chunks} "
-                  f"({time.perf_counter()-t0:.0f}s, spilled "
-                  f"{filler.spilled:,})", flush=True)
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
     codes_buf.block_until_ready()
     t_build = time.perf_counter() - t0
     idx = IVFPQIndex.from_device_arrays(
@@ -290,7 +337,7 @@ def run(args):
     n = args.n_docs or (1536 * 65536 if args.capacity else 4 * CHUNK)
     n_clusters = args.n_clusters or max(256, 1 << int(
         np.log2(max(1, n // 3072))))
-    budget = args.budget or int(np.ceil(n / n_clusters * 1.17 / 128)) * 128
+    budget = args.budget or int(np.ceil(n / n_clusters * 1.30 / 128)) * 128
     gen = (make_clustered_gen(d) if args.dist == "clustered"
            else make_gen(d))
     kq = jax.random.split(jax.random.key(9))[0]

@@ -620,37 +620,77 @@ class Retriever:
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         pos_of = self._pos() if (return_texts and self._doc_texts) else None
-        from qst_tpu.retrieval.index import _pack_pair, _unpack_host
 
         def finish(packed):
-            # ONE packed host transfer per batch (scores bitcast alongside
-            # ids) — the same fetch_pair fix the index streaming loop got
-            scores, idx = _unpack_host(np.asarray(packed))
-            rows = []
-            for qi in range(idx.shape[0]):
-                row = []
-                for j, s in zip(idx[qi], scores[qi]):
-                    if j < 0:   # IVF can return fewer than k real hits
-                        continue
-                    doc_id = self.index.ids[int(j)]
-                    entry = (doc_id, float(s))
-                    if return_texts and self._doc_texts:
-                        entry = (*entry, self._doc_texts[pos_of[doc_id]])
-                    row.append(entry)
-                rows.append(row)
-            return rows
+            return self._rows_from_packed(packed, return_texts, pos_of)
 
         pending: List = []
         for queries in query_batches:
-            q_emb = _encode_device(self.encoder, list(queries))
-            dev_search = getattr(self.index, "_device_search_retriever",
-                                 self.index._device_search)
-            pending.append(_pack_pair(*dev_search(
-                q_emb, k, self.score, 131072, "auto")))
+            pending.append(self._dispatch_packed(list(queries), k))
             if len(pending) >= depth:
                 yield finish(pending.pop(0))
         while pending:
             yield finish(pending.pop(0))
+
+    def _dispatch_packed(self, queries: List[str], k: int):
+        """Encode + search + pack WITHOUT materializing: returns the
+        in-flight packed (scores, ids) device array (JAX async dispatch —
+        nothing here blocks on device completion)."""
+        from qst_tpu.retrieval.index import _pack_pair
+
+        q_emb = _encode_device(self.encoder, queries)
+        dev_search = getattr(self.index, "_device_search_retriever",
+                             self.index._device_search)
+        return _pack_pair(*dev_search(q_emb, k, self.score, 131072, "auto"))
+
+    def _rows_from_packed(self, packed, return_texts: bool, pos_of):
+        """ONE packed host transfer per batch (scores bitcast alongside
+        ids — the same fetch_pair fix the index streaming loop got), then
+        unpack to the (doc_id, score[, text]) rows of :meth:`search`."""
+        from qst_tpu.retrieval.index import _unpack_host
+
+        scores, idx = _unpack_host(np.asarray(packed))
+        rows = []
+        for qi in range(idx.shape[0]):
+            row = []
+            for j, s in zip(idx[qi], scores[qi]):
+                if j < 0:   # IVF can return fewer than k real hits
+                    continue
+                doc_id = self.index.ids[int(j)]
+                entry = (doc_id, float(s))
+                if return_texts and self._doc_texts:
+                    entry = (*entry, self._doc_texts[pos_of[doc_id]])
+                row.append(entry)
+            rows.append(row)
+        return rows
+
+    def search_async(self, queries: Sequence[str], k: int = 10,
+                     return_texts: bool = False):
+        """Dispatch encode + search for one batch NOW (non-blocking) and
+        return a zero-arg callable that materializes the rows.
+
+        The serving split-phase path (``DynamicBatcher(finalize_fn=...)``):
+        the batcher's collector thread dispatches batch N+1's device calls
+        while completer threads block on batch N's host transfer, closing
+        the encode-before-search serialization gap (STATUS known-limitation
+        #6). Falls back to a deferred plain :meth:`search` for index kinds
+        without a single-dispatch device path (updatable / streaming), so
+        callers need no capability check. Same rows as :meth:`search`
+        (no reranking — pass rerank work through :meth:`search`)."""
+        if self.index is None:
+            raise RuntimeError("no index built or loaded")
+        queries = list(queries)
+        single_dispatch = (
+            not self._is_updatable()
+            and (hasattr(self.index, "_device_search_retriever")
+                 or hasattr(self.index, "_device_search")))
+        if not single_dispatch:
+            return lambda: self.search(queries, k=k,
+                                       return_texts=return_texts)
+        pos_of = (self._pos() if (return_texts and self._doc_texts)
+                  else None)
+        packed = self._dispatch_packed(queries, k)
+        return lambda: self._rows_from_packed(packed, return_texts, pos_of)
 
     def search(self, queries: Sequence[str], k: int = 10,
                return_texts: bool = False, rerank_k: int = 0):

@@ -58,11 +58,24 @@ class DynamicBatcher:
         Two workers keep a second batch in flight so transfers overlap
         device compute (measured 355-417 → 471 req/s and p99 538 → 330 ms
         at 64-way load, benchmarks/serve_load_bench.py).
+    finalize_fn : optional split-phase mode, ``finalize_fn(handle,
+        payloads) -> list``. When given, ``batch_fn(payloads)`` is treated
+        as a non-blocking DISPATCH (e.g. enqueue the device calls, return
+        the in-flight device arrays) running on ONE collector thread —
+        preserving device-call order — and ``finalize_fn`` (the blocking
+        host materialization) runs on ``workers`` completer threads. The
+        collector never blocks on a host transfer, so batch N+1 is
+        collected and dispatched while batches N, N-1, … materialize —
+        deeper overlap than plain ``workers=2``, whose each worker still
+        serializes its own fetch before collecting again. In-flight
+        batches are bounded (``2 × workers``) for backpressure.
     """
 
     def __init__(self, batch_fn: Callable[[List[Any]], Sequence[Any]],
                  max_batch: int = 64, max_wait_s: float = 0.005,
-                 workers: int = 1):
+                 workers: int = 1,
+                 finalize_fn: Optional[
+                     Callable[[Any, List[Any]], Sequence[Any]]] = None):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         if max_wait_s < 0:
@@ -70,6 +83,7 @@ class DynamicBatcher:
         if workers < 1:
             raise ValueError(f"workers must be >= 1, got {workers}")
         self._batch_fn = batch_fn
+        self._finalize_fn = finalize_fn
         self._max_batch = max_batch
         self._max_wait_s = max_wait_s
         self._stats_lock = threading.Lock()
@@ -78,8 +92,20 @@ class DynamicBatcher:
         self._n_errors = 0
         self._max_seen = 0
         self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
-        self._threads = [threading.Thread(target=self._run, daemon=True)
-                         for _ in range(workers)]
+        if finalize_fn is None:
+            self._done_queue = None
+            self._threads = [threading.Thread(target=self._run, daemon=True)
+                             for _ in range(workers)]
+        else:
+            # split-phase: 1 collector (ordered dispatch) + N completers;
+            # the bounded queue is the in-flight backpressure
+            self._done_queue: "queue.Queue" = queue.Queue(
+                maxsize=2 * workers)
+            self._threads = [threading.Thread(target=self._run_dispatch,
+                                              daemon=True)]
+            self._threads += [
+                threading.Thread(target=self._run_finalize, daemon=True)
+                for _ in range(workers)]
         self._closed = False
         self._lifecycle = threading.Lock()  # orders submit vs close
         for t in self._threads:
@@ -124,7 +150,10 @@ class DynamicBatcher:
             if self._closed:
                 return
             self._closed = True
-            for _ in self._threads:
+            # split-phase: only the single collector reads _queue; it
+            # forwards sentinels to the completers itself
+            n = 1 if self._finalize_fn is not None else len(self._threads)
+            for _ in range(n):
                 self._queue.put(None)
         for t in self._threads:
             t.join(timeout=5)
@@ -181,3 +210,55 @@ class DynamicBatcher:
             finally:
                 for it in items:
                     it.event.set()
+
+    # ------------------------- split-phase mode -----------------------
+    def _resolve_error(self, items: List[_Item], e: BaseException) -> None:
+        with self._stats_lock:
+            self._n_errors += 1
+        for it in items:
+            it.error = e
+            it.event.set()
+
+    def _run_dispatch(self) -> None:
+        """Single collector: drain → non-blocking dispatch → hand off."""
+        n_completers = len(self._threads) - 1
+        while True:
+            first = self._queue.get()
+            if first is None:
+                # in-flight hand-offs precede these sentinels (FIFO), so
+                # completers drain them before exiting
+                for _ in range(n_completers):
+                    self._done_queue.put(None)
+                return
+            items = self._drain(first)
+            with self._stats_lock:
+                self._n_batches += 1
+                self._n_items += len(items)
+                self._max_seen = max(self._max_seen, len(items))
+            try:
+                handle = self._batch_fn([it.payload for it in items])
+            except BaseException as e:
+                self._resolve_error(items, e)
+                continue
+            self._done_queue.put((handle, items))  # bounded: backpressure
+
+    def _run_finalize(self) -> None:
+        """Completer: blocking host materialization, off the collector."""
+        while True:
+            got = self._done_queue.get()
+            if got is None:
+                return
+            handle, items = got
+            try:
+                results = self._finalize_fn(handle,
+                                            [it.payload for it in items])
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"finalize_fn returned {len(results)} results "
+                        f"for {len(items)} payloads")
+            except BaseException as e:
+                self._resolve_error(items, e)
+                continue
+            for it, res in zip(items, results):
+                it._result = res
+                it.event.set()

@@ -69,12 +69,20 @@ class RetrievalServer:
         # tuples for search, raw texts for encode; workers > 1 keeps a
         # second batch in flight so host transfers overlap device compute
         # (see DynamicBatcher docs)
+        # split-phase batchers: the collector thread only DISPATCHES the
+        # device calls (tokenize + encode + search, all non-blocking under
+        # JAX async dispatch) and `workers` completer threads block on the
+        # host materialization — batch N+1 is collected and dispatched
+        # while batch N's results transfer, instead of the encode call
+        # serializing behind the previous batch's fetch
         self._search_batcher = DynamicBatcher(
-            self._search_batch, max_batch=max_batch, max_wait_s=max_wait_s,
-            workers=workers)
+            self._search_dispatch, max_batch=max_batch,
+            max_wait_s=max_wait_s, workers=workers,
+            finalize_fn=self._search_finalize)
         self._encode_batcher = DynamicBatcher(
-            self._encode_batch, max_batch=max_batch, max_wait_s=max_wait_s,
-            workers=workers)
+            self._encode_dispatch, max_batch=max_batch,
+            max_wait_s=max_wait_s, workers=workers,
+            finalize_fn=self._encode_finalize)
         # serializes /docs writers (UpdatableIndex updates are lock-free
         # vs concurrent readers but not vs each other)
         self._write_lock = threading.Lock()
@@ -98,15 +106,21 @@ class RetrievalServer:
             b *= 2
         return min(b, hi)
 
-    def _search_batch(self, payloads):
+    def _search_dispatch(self, payloads):
         # one device call for the union of queries; batch and k bucketed
-        # to compile-stable shapes, trimmed per payload afterwards
+        # to compile-stable shapes, trimmed per payload in the finalizer
         queries = [p[0] for p in payloads]
         k = self._bucket(max(p[1] for p in payloads), self._k_max)
         B = self._bucket(len(queries), self._max_batch)
         padded = queries + [queries[0]] * (B - len(queries))
         want_texts = any(p[2] for p in payloads)
-        rows = self.retriever.search(padded, k=k, return_texts=want_texts)
+        finish = self.retriever.search_async(padded, k=k,
+                                             return_texts=want_texts)
+        return finish, want_texts
+
+    def _search_finalize(self, handle, payloads):
+        finish, want_texts = handle
+        rows = finish()     # blocks on the device→host transfer
         out = []
         for (q, kk, rt), row in zip(payloads, rows):
             row = row[: min(kk, len(row))]
@@ -115,14 +129,21 @@ class RetrievalServer:
             out.append(row)
         return out
 
-    def _encode_batch(self, texts):
+    def _encode_dispatch(self, texts):
         # pad to bucketed shapes: redundant for SentenceEncoder (which
         # buckets internally — the pad collapses to the same compile
         # shape) but load-bearing for duck-typed encoders that jit on the
         # realized batch size, which would otherwise recompile per size
+        from qst_tpu.retrieval.retriever import encode_keep_device
+
         B = self._bucket(len(texts), self._max_batch)
         padded = list(texts) + [texts[0]] * (B - len(texts))
-        emb = np.asarray(self.retriever.encoder.encode(padded))
+        # keep on device when the encoder supports it: the dispatch phase
+        # must not block on the embedding download
+        return encode_keep_device(self.retriever.encoder.encode, padded)
+
+    def _encode_finalize(self, emb, texts):
+        emb = np.asarray(emb)
         return [emb[i].tolist() for i in range(len(texts))]
 
     # ---------------- lifecycle ----------------------------------------

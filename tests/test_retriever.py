@@ -124,6 +124,25 @@ def test_search_stream_matches_search():
         list(r2.search_stream([DOCS[:1]]))
 
 
+def test_search_async_matches_search():
+    """The split-phase serving path: dispatch-now/materialize-later must
+    return exactly what a blocking search() returns — static index
+    (single-dispatch fast path) AND updatable index (deferred fallback)."""
+    r = Retriever(MockEncoder()).build(DOCS, ids=[f"d{i}" for i in range(5)])
+    # dispatch two batches before materializing either (the serving order)
+    f1 = r.search_async(DOCS[:2], k=3, return_texts=True)
+    f2 = r.search_async(DOCS[2:], k=3)
+    assert f1() == r.search(DOCS[:2], k=3, return_texts=True)
+    assert f2() == r.search(DOCS[2:], k=3)
+
+    ru = Retriever(MockEncoder()).build_updatable(DOCS, capacity=16)
+    fu = ru.search_async(DOCS[:2], k=2)
+    assert fu() == ru.search(DOCS[:2], k=2)
+
+    with pytest.raises(RuntimeError, match="no index"):
+        Retriever(MockEncoder()).search_async(DOCS[:1])
+
+
 # ------------------------------------------------- updatable (mutable) mode
 def test_updatable_add_search_remove():
     r = Retriever(MockEncoder()).build_updatable(DOCS[:3], capacity=64)

@@ -141,6 +141,111 @@ def test_batcher_validation():
 
 
 # ---------------------------------------------------------------------------
+# DynamicBatcher split-phase mode (finalize_fn)
+# ---------------------------------------------------------------------------
+
+def test_batcher_split_phase_results_and_batching():
+    dispatched = []
+
+    def dispatch(items):
+        dispatched.append(len(items))
+        return [x * 2 for x in items]        # the "in-flight handle"
+
+    def finalize(handle, items):
+        assert len(handle) == len(items)
+        return [h + 1 for h in handle]
+
+    with DynamicBatcher(dispatch, max_batch=64, max_wait_s=0.05,
+                        workers=2, finalize_fn=finalize) as b:
+        results = [None] * 16
+
+        def worker(i):
+            results[i] = b.submit(i)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert results == [i * 2 + 1 for i in range(16)]
+    assert sum(dispatched) == 16 and len(dispatched) < 16, dispatched
+
+
+def test_batcher_split_phase_dispatch_overlaps_finalize():
+    """The collector dispatches batch N+1 while batch N is still blocked
+    inside finalize — the encode/search overlap the server relies on."""
+    order = []
+    lock = threading.Lock()
+    release = threading.Event()
+
+    def dispatch(items):
+        with lock:
+            order.append(("dispatch", items[0]))
+        return items
+
+    def finalize(handle, items):
+        with lock:
+            order.append(("finalize-start", handle[0]))
+        if handle[0] == 0:
+            release.wait(timeout=5)   # hold batch 0's materialization open
+        return handle
+
+    with DynamicBatcher(dispatch, max_batch=1, max_wait_s=0.0,
+                        workers=2, finalize_fn=finalize) as b:
+        f0 = b.submit_async(0)
+        f1 = b.submit_async(1)
+        assert f1.result() == 1       # batch 1 completes while 0 is held
+        with lock:
+            assert ("dispatch", 1) in order and ("finalize-start",
+                                                 0) in order
+        release.set()
+        assert f0.result() == 0
+
+
+def test_batcher_split_phase_errors_both_phases():
+    def dispatch(items):
+        if any(x == -1 for x in items):
+            raise RuntimeError("dispatch boom")
+        return items
+
+    def finalize(handle, items):
+        if any(x == -2 for x in handle):
+            raise RuntimeError("finalize boom")
+        return handle
+
+    b = DynamicBatcher(dispatch, max_batch=1, max_wait_s=0.0,
+                       workers=2, finalize_fn=finalize)
+    with pytest.raises(RuntimeError, match="dispatch boom"):
+        b.submit(-1)
+    with pytest.raises(RuntimeError, match="finalize boom"):
+        b.submit(-2)
+    assert b.submit(7) == 7           # both phases survived their errors
+    assert b.stats()["errors"] == 2
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(1)
+    b.close()  # idempotent
+
+
+def test_batcher_split_phase_close_drains_in_flight():
+    """Items enqueued before close() resolve even when their finalize is
+    still pending at close time (FIFO sentinel ordering)."""
+    def dispatch(items):
+        return items
+
+    def finalize(handle, items):
+        time.sleep(0.02)
+        return [h * 3 for h in handle]
+
+    b = DynamicBatcher(dispatch, max_batch=2, max_wait_s=0.0,
+                       workers=2, finalize_fn=finalize)
+    futs = [b.submit_async(i) for i in range(8)]
+    b.close()
+    assert [f.result() for f in futs] == [i * 3 for i in range(8)]
+
+
+# ---------------------------------------------------------------------------
 # RetrievalServer
 # ---------------------------------------------------------------------------
 
