@@ -648,7 +648,12 @@ class IVFPQIndex:
                 _pad_to(jnp.asarray(codes[lo:hi]), PQ_TILE),
                 cb, self.bits))[: hi - lo].astype(np.float32)
             if self.residual:
-                dec = dec + cent[(np.arange(lo, hi) // L)]
+                # clamp: _install_cells pads C past n_clusters for mesh
+                # sharding; padded cells are all ids<0 (masked by `valid`)
+                # but the gather itself must stay in range
+                cell_of = np.minimum(np.arange(lo, hi) // L,
+                                     cent.shape[0] - 1)
+                dec = dec + cent[cell_of]
             out[ids[valid]] = dec[valid]
         return out
 
@@ -693,7 +698,9 @@ class IVFPQIndex:
                refine_factor: Optional[int] = None,
                score: str = "cos_sim"
                ) -> Tuple[np.ndarray, List[list]]:
-        """→ (scores (Q, k), per-query external-id lists).
+        """→ (scores, per-query external-id lists); the column width is
+        ``min(k, n_probe * cell_budget)`` — the probed pool can be
+        narrower than ``k`` at tiny probe settings.
 
         ``refine_factor=r`` re-ranks the top r·k IVF-PQ candidates exactly
         from the host-resident originals (requires ``keep_rows`` at build
@@ -744,10 +751,12 @@ class IVFPQIndex:
                       n_probe: Optional[int] = None, depth: int = 4,
                       refine_factor: Optional[int] = None):
         """Pipelined serving loop (the ``ExactIndex.search_stream``
-        dispatch pattern): yields one ``(scores (Q, k), ids (Q, k)
-        int32 positions)`` pair per batch in input order, up to ``depth``
-        searches in flight; refinement of batch N runs while batches
-        N+1.. compute on device."""
+        dispatch pattern): yields one ``(scores, ids int32 positions)``
+        pair per batch in input order, up to ``depth`` searches in
+        flight; refinement of batch N runs while batches N+1.. compute
+        on device. As in :meth:`search`, the column width is
+        ``min(k, n_probe * cell_budget)`` — the probed candidate pool
+        can be narrower than ``k`` at tiny probe settings."""
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         n_probe = min(n_probe or self.default_n_probe,
@@ -769,7 +778,8 @@ class IVFPQIndex:
             cand = self._refine_rows[np.clip(i, 0, self.n_docs - 1)]
             return fetch_pair(*_refine_rescore(
                 jnp.asarray(queries, jnp.float32), jnp.asarray(cand),
-                jnp.asarray(i), min(k, self.n_docs),
+                jnp.asarray(i),
+                min(k, i.shape[1]),   # probed pool may be < k at tiny P·L
                 jnp.float32(1.0 / self._refine_scale)))
 
         kk = min(k * refine, self.n_docs) if refine else min(k, self.n_docs)

@@ -371,3 +371,32 @@ def test_index_cli_ivfpq_build_and_query(tmp_path, capsys):
     assert rc == 0
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(payload["hits"]) == 2
+
+
+def test_search_stream_refine_narrow_pool(clustered_corpus, queries):
+    """k·refine above the probed pool width: the stream finisher must
+    clamp its top-k to the pool like search() does (regression: it used
+    min(k, n_docs) and lax.top_k raised on k > n_probe·cell_budget)."""
+    idx = IVFPQIndex(clustered_corpus, n_clusters=16, m=8, seed=0,
+                     cell_budget=64, keep_rows=True)
+    k = 100   # pool = n_probe·cell_budget = 64 < k: width clamps to 64
+    streamed = list(idx.search_stream([queries], k=k, n_probe=1,
+                                      refine_factor=4))
+    s_all, ids_all = idx.search(queries, k=k, n_probe=1, refine_factor=4)
+    got_s, got_i = streamed[0]
+    assert got_s.shape[1] == s_all.shape[1] <= k
+    np.testing.assert_allclose(got_s, s_all, rtol=1e-5, atol=1e-5)
+
+
+def test_reconstruct_rows_with_padded_cells(clustered_corpus, mesh8):
+    """Mesh sharding pads the cell count past n_clusters; the residual
+    reconstruction must clamp its centroid gather to the real centroids
+    (regression: IndexError on padded cell ids)."""
+    idx = IVFPQIndex(clustered_corpus, n_clusters=6, m=8, seed=0,
+                     mesh=mesh8)
+    assert idx.cell_codes.shape[0] > idx.centroids.shape[0]  # padded
+    rows = idx.reconstruct_rows()
+    assert rows.shape == clustered_corpus.shape
+    # every real doc's reconstruction correlates with its original
+    cos = np.sum(_norm(rows) * _norm(clustered_corpus), axis=1)
+    assert float(np.median(cos)) > 0.8
