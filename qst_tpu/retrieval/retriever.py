@@ -604,7 +604,11 @@ class Retriever:
         result materialization overlaps the following batches' compute —
         the end-to-end analogue of ``ExactIndex.search_stream``. Yields
         the same per-query ``(doc_id, score[, text])`` rows as
-        :meth:`search` (reranking is not applied on the streaming path)."""
+        :meth:`search`, including the default exact refine re-rank on
+        PQ/IVF-PQ indexes built with refine rows (the gather + rescore
+        runs in the materialization phase, so the pipeline overlap
+        survives it). Cross-encoder reranking is not applied on the
+        streaming path."""
         if self.index is None:
             raise RuntimeError("no index built or loaded")
         if self._is_updatable():
@@ -621,8 +625,8 @@ class Retriever:
             raise ValueError(f"depth must be >= 1, got {depth}")
         pos_of = self._pos() if (return_texts and self._doc_texts) else None
 
-        def finish(packed):
-            return self._rows_from_packed(packed, return_texts, pos_of)
+        def finish(state):
+            return self._rows_from_packed(state, k, return_texts, pos_of)
 
         pending: List = []
         for queries in query_batches:
@@ -632,24 +636,55 @@ class Retriever:
         while pending:
             yield finish(pending.pop(0))
 
+    def _default_refine(self) -> int:
+        """The refine factor :meth:`search` (via ``index.search_ids``)
+        would apply by default: PQ/IVF-PQ indexes built with refine rows
+        re-rank ``DEFAULT_REFINE * k`` candidates exactly; every other
+        index family returns 0 (its device scores are already final)."""
+        if getattr(self.index, "_refine_rows", None) is None:
+            return 0
+        return int(getattr(self.index, "DEFAULT_REFINE", 0))
+
     def _dispatch_packed(self, queries: List[str], k: int):
         """Encode + search + pack WITHOUT materializing: returns the
-        in-flight packed (scores, ids) device array (JAX async dispatch —
-        nothing here blocks on device completion)."""
+        in-flight (q_emb, packed (scores, ids)) device arrays (JAX async
+        dispatch — nothing here blocks on device completion). On indexes
+        with a default refine stage the device search is dispatched at
+        the widened candidate depth; :meth:`_rows_from_packed` applies
+        the exact re-rank at materialization time."""
         from qst_tpu.retrieval.index import _pack_pair
 
         q_emb = _encode_device(self.encoder, queries)
+        rf = self._default_refine()
+        kk = min(k * rf, self.index.n_docs) if rf else k
         dev_search = getattr(self.index, "_device_search_retriever",
                              self.index._device_search)
-        return _pack_pair(*dev_search(q_emb, k, self.score, 131072, "auto"))
+        return q_emb, _pack_pair(*dev_search(q_emb, kk, self.score,
+                                             131072, "auto"))
 
-    def _rows_from_packed(self, packed, return_texts: bool, pos_of):
+    def _rows_from_packed(self, state, k: int, return_texts: bool, pos_of):
         """ONE packed host transfer per batch (scores bitcast alongside
-        ids — the same fetch_pair fix the index streaming loop got), then
-        unpack to the (doc_id, score[, text]) rows of :meth:`search`."""
-        from qst_tpu.retrieval.index import _unpack_host
+        ids — the same fetch_pair fix the index streaming loop got), an
+        exact refine re-rank when the index carries refine rows (the same
+        re-rank :meth:`search` applies), then unpack to the
+        (doc_id, score[, text]) rows of :meth:`search`."""
+        from qst_tpu.retrieval.index import _unpack_host, fetch_pair
 
+        q_emb, packed = state
         scores, idx = _unpack_host(np.asarray(packed))
+        rf = self._default_refine()
+        if rf:
+            import jax.numpy as jnp
+
+            from qst_tpu.retrieval.pq import _refine_rescore
+
+            cand = self.index._refine_rows[
+                np.clip(idx, 0, self.index.n_docs - 1)]
+            scores, idx = fetch_pair(*_refine_rescore(
+                jnp.asarray(q_emb, jnp.float32), jnp.asarray(cand),
+                jnp.asarray(idx),
+                min(k, idx.shape[1]),   # probed pool may be < k (IVF-PQ)
+                jnp.float32(1.0 / self.index._refine_scale)))
         rows = []
         for qi in range(idx.shape[0]):
             row = []
@@ -675,8 +710,10 @@ class Retriever:
         the encode-before-search serialization gap (STATUS known-limitation
         #6). Falls back to a deferred plain :meth:`search` for index kinds
         without a single-dispatch device path (updatable / streaming), so
-        callers need no capability check. Same rows as :meth:`search`
-        (no reranking — pass rerank work through :meth:`search`)."""
+        callers need no capability check. Same rows as :meth:`search` —
+        including the default exact refine re-rank on PQ/IVF-PQ indexes
+        with refine rows, applied in the finisher (no cross-encoder
+        reranking — pass rerank work through :meth:`search`)."""
         if self.index is None:
             raise RuntimeError("no index built or loaded")
         queries = list(queries)
@@ -689,8 +726,9 @@ class Retriever:
                                        return_texts=return_texts)
         pos_of = (self._pos() if (return_texts and self._doc_texts)
                   else None)
-        packed = self._dispatch_packed(queries, k)
-        return lambda: self._rows_from_packed(packed, return_texts, pos_of)
+        state = self._dispatch_packed(queries, k)
+        return lambda: self._rows_from_packed(state, k, return_texts,
+                                              pos_of)
 
     def search(self, queries: Sequence[str], k: int = 10,
                return_texts: bool = False, rerank_k: int = 0):

@@ -389,3 +389,29 @@ def test_build_to_disk_and_stream_serve(tmp_path):
 
     with pytest.raises(ValueError, match="no documents"):
         Retriever(MockEncoder()).build_to_disk([], str(tmp_path / "e"))
+
+
+def test_split_phase_applies_default_refine():
+    """search_async / search_stream must return what search() returns on
+    a PQ index with refine rows (regression: the split-phase dispatch
+    skipped the default exact re-rank, silently serving raw PQ scores)."""
+    topics = ["cat", "dog", "pasta", "plane", "river", "tower"]
+    docs = [f"{topics[i % 6]} document number {i}" for i in range(400)]
+    r = Retriever(MockEncoder(), index_dtype="pq", pq_m=16).build(docs)
+    assert r._default_refine() > 0   # precondition: refine stage active
+
+    want0 = r.search(docs[:3], k=5)
+    want1 = r.search(docs[3:6], k=5)
+
+    f = r.search_async(docs[:3], k=5)
+    got = f()
+    assert [[h[0] for h in row] for row in got] \
+        == [[h[0] for h in row] for row in want0]
+    np.testing.assert_allclose(
+        [[h[1] for h in row] for row in got],
+        [[h[1] for h in row] for row in want0], rtol=1e-5)
+
+    streamed = list(r.search_stream([docs[:3], docs[3:6]], k=5))
+    for got_rows, want in zip(streamed, (want0, want1)):
+        assert [[h[0] for h in row] for row in got_rows] \
+            == [[h[0] for h in row] for row in want]
