@@ -188,6 +188,9 @@ _lock = threading.Lock()
 _singleton = None
 
 
+_BACKEND_CHOICES = {"jax", "torch", "paraphrase", "identity"}
+
+
 def _marian_tokenizer_available(path: str) -> bool:
     try:
         import sentencepiece  # noqa: F401
@@ -215,12 +218,23 @@ def get_backtranslator(
     en_fr_path = en_fr_path or os.environ.get("QST_MARIAN_EN_FR")
     fr_en_path = fr_en_path or os.environ.get("QST_MARIAN_FR_EN")
     backend = backend or os.environ.get("QST_BACKTRANSLATION_BACKEND")
+    if backend is not None and backend not in _BACKEND_CHOICES:
+        # typos must not silently fall through to auto-selection (a
+        # degraded paraphrase fallback masquerading as Marian output)
+        raise ValueError(f"unknown backtranslation backend {backend!r}; "
+                         f"choices: {sorted(_BACKEND_CHOICES)}")
     with _lock:
         if _singleton is not None:
             return _singleton
         have_ckpts = bool(
             en_fr_path and fr_en_path and os.path.isdir(en_fr_path)
             and os.path.isdir(fr_en_path))
+        if backend in ("jax", "torch") and not have_ckpts:
+            raise ValueError(
+                f"backend={backend!r} forces Marian generation but the "
+                "checkpoint dirs are missing — pass en_fr_path/fr_en_path "
+                "or set $QST_MARIAN_EN_FR / $QST_MARIAN_FR_EN to existing "
+                "directories")
         if backend == "identity":
             _singleton = IdentityBacktranslator()
         elif backend == "paraphrase":
@@ -233,8 +247,9 @@ def get_backtranslator(
         elif have_ckpts:
             # TPU-native decode whenever the tokenizer can load; the torch
             # backend remains reachable explicitly (backend="torch")
-            if tokenizers is not None or _marian_tokenizer_available(
-                    en_fr_path):
+            if tokenizers is not None or (
+                    _marian_tokenizer_available(en_fr_path)
+                    and _marian_tokenizer_available(fr_en_path)):
                 _singleton = JaxMarianBacktranslator(en_fr_path, fr_en_path,
                                                      tokenizers=tokenizers)
             else:

@@ -239,3 +239,20 @@ def test_source_bucket_padding_does_not_change_output(ckpt_dirs):
                                       jnp.asarray(mask_p), cfg,
                                       max_length=12, num_beams=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_get_backtranslator_rejects_bad_backend(monkeypatch):
+    """Backend typos must not silently fall through to auto-selection,
+    and forcing a Marian backend without checkpoint dirs must fail with
+    a clear message instead of a deep TypeError."""
+    monkeypatch.delenv("QST_MARIAN_EN_FR", raising=False)
+    monkeypatch.delenv("QST_MARIAN_FR_EN", raising=False)
+    reset_backtranslator()
+    try:
+        with pytest.raises(ValueError, match="unknown backtranslation"):
+            get_backtranslator(backend="Jax")
+        for forced in ("jax", "torch"):
+            with pytest.raises(ValueError, match="checkpoint dirs"):
+                get_backtranslator(backend=forced)
+    finally:
+        reset_backtranslator()
