@@ -105,6 +105,11 @@ def main() -> None:
     ap.add_argument("--use_fused_layer", action="store_true",
                     help="train both arms through the fused Pallas layer "
                     "kernels + custom-VJP backward (in-kernel dropout)")
+    ap.add_argument("--wordpiece", action="store_true",
+                    help="tokenize with a real WordPiece vocab built from "
+                    "the constructed dataset (greedy longest-match, "
+                    "subword fallback) instead of the hash tokenizer — "
+                    "the VERDICT r3 item-2 configuration")
     args = ap.parse_args()
 
     import jax
@@ -150,11 +155,38 @@ def main() -> None:
     # held-out eval slice vs training slice
     eval_instances = instances[:args.n_eval]
 
-    cfg = EncoderConfig.minilm_l6(max_seq_length=32)
+    overrides = {"max_seq_length": 32}
     if args.use_fused_layer:
-        cfg = EncoderConfig.minilm_l6(max_seq_length=32,
-                                      use_fused_layer=True)
-    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+        overrides["use_fused_layer"] = True
+    if args.wordpiece:
+        # real WordPiece over the dataset's own text: whole words by
+        # frequency + single-char and ##-continuation pieces so crops and
+        # substitutions never hit [UNK] — the reference tokenizes with
+        # the checkpoint's WordPiece vocab; with zero egress we train the
+        # vocab from the corpus instead (same greedy longest-match code
+        # path as checkpoint vocabs, models/tokenizer.py)
+        from collections import Counter
+
+        from qst_tpu.models.tokenizer import WordPieceTokenizer, basic_tokenize
+
+        all_texts = [c for inst in instances
+                     for c in ([inst["reference"]] + inst["positive"]
+                               + inst["part_positive"])]
+        counts = Counter(w for t in all_texts for w in basic_tokenize(t))
+        chars = sorted({c for w in counts for c in w})
+        vocab: dict = {}
+        for tkn in (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                    + chars + ["##" + c for c in chars]
+                    + [w for w, _ in counts.most_common()]):
+            vocab.setdefault(tkn, len(vocab))
+        overrides["vocab_size"] = -(-len(vocab) // 128) * 128
+        tok = WordPieceTokenizer(vocab)
+        print(f"wordpiece vocab: {len(vocab)} tokens "
+              f"(embedding table {overrides['vocab_size']})", flush=True)
+        cfg = EncoderConfig.minilm_l6(**overrides)
+    else:
+        cfg = EncoderConfig.minilm_l6(**overrides)
+        tok = HashTokenizer(vocab_size=cfg.vocab_size)
     init = init_params(cfg, jax.random.key(14))
 
     # --- 4: evaluators ----------------------------------------------------
@@ -178,12 +210,17 @@ def main() -> None:
         for name, s in sets.items()
     }
     # ordering accuracies need a negative per instance: a caption from a
-    # different-topic instance (deterministic pairing)
+    # DIFFERENT-topic instance, matching the mined-negative distribution
+    # training sees (cos ≤ 0.2 → cross-topic). Image topics cycle
+    # TOPICS[img_id % len(TOPICS)], so the j+1 neighbor is always a
+    # different topic — the previous offset of len(TOPICS) landed on the
+    # SAME topic and silently turned this metric into same-topic
+    # instance discrimination, a distribution training never labels
     quad_eval = QuadrupletEvaluator(
         anchors=[i["reference"] for i in eval_instances],
         positives=[i["positive"][0] for i in eval_instances],
         part_positives=[i["part_positive"][0] for i in eval_instances],
-        negatives=[eval_instances[(j + len(TOPICS)) % len(eval_instances)]
+        negatives=[eval_instances[(j + 1) % len(eval_instances)]
                    ["positive"][1] for j in range(len(eval_instances))],
     )
 
@@ -207,12 +244,22 @@ def main() -> None:
     # --- 3: train the two arms from the SAME init ------------------------
     def train_arm(loss_cfg, label):
         ds = QuadrupletDataset(root, n_pos=1, n_part_pos=1, n_neg=1, seed=14)
-        mining_enc = SentenceEncoder(cfg, init, tok)
-        encode_init = lambda texts: mining_enc.encode(list(texts))
+        # Mine negatives with the SAME semantically-meaningful embedder
+        # the construction stage used (hash_embed = the pretrained-SBERT
+        # stand-in; the reference shares one SBERT singleton between
+        # positive mining and negative mining). Mining with a frozen
+        # RANDOM-INIT encoder instead was measured to be actively harmful
+        # at long horizons: random-encoder cosine tracks lexical overlap,
+        # so its "hard negatives" are near-lexical-duplicates of the
+        # anchor, and part-positives (crops = lexical subsets) generalize
+        # into the negative region — acc(part,neg) fell BELOW chance
+        # (0.10 quadruplet / 0.49 triplet at 2000 steps) until the miner
+        # was given the topical embedder. See RESULTS.md.
+        mine_embed = lambda texts: hash_embed(list(texts))
         pool = ds.store.all_positive_captions()
-        table = EmbeddingTable(pool, encode_init, refresh_steps=20,
+        table = EmbeddingTable(pool, mine_embed, refresh_steps=10**9,
                                max_pool=20000)
-        ds.miner = NegativeMiner(table, encode_init,
+        ds.miner = NegativeMiner(table, mine_embed,
                                  mode=HARD_CONTRASTIVE_TRAIN, seed=14)
         epochs = max(1, -(-args.steps * args.batch // len(ds)))
         spe = -(-args.steps // epochs)

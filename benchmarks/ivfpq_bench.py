@@ -83,7 +83,14 @@ def make_clustered_gen(d: int, n_centers: int = 1 << 16, seed: int = 0,
     map text onto topical manifolds: clusters and near-duplicates), and
     the workload IVF exists for. Within-cluster cosine ≈ 0.89 at
     noise=0.35 (well-conditioned ranking, NOT near-duplicate ties).
-    Deterministic from (seed, chunk) like :func:`make_gen`."""
+    Deterministic from (seed, chunk) like :func:`make_gen`.
+
+    ``n_centers`` must scale with the corpus (callers pass ~n/32): a
+    fixed center count at 100M docs gives every doc ~1,500 cos≈0.89
+    near-duplicates, and recall saturates on within-cluster TIE
+    RESOLUTION regardless of n_probe (measured: flat 0.548 refined
+    recall from n_probe 8 to 64) — an adversarial duplicate pileup, not
+    the topical-cluster shape this generator models."""
     kw, kc = jax.random.split(jax.random.key(seed))
     w = jax.random.normal(kw, (RANK, d), jnp.float32) / 8.0
     centers = jax.random.normal(kc, (n_centers, RANK), jnp.float32)
@@ -335,11 +342,16 @@ def sustained(idx, q, k, n_probe, refine_factor, iters=16, depth=4):
 def run(args):
     d, k, m = 384, 10, 48
     n = args.n_docs or (1536 * 65536 if args.capacity else 4 * CHUNK)
+    if n % CHUNK:
+        # the corpus generator works in CHUNK-sized blocks; round DOWN so
+        # the printed config matches what is actually indexed/evaluated
+        n = max(CHUNK, (n // CHUNK) * CHUNK)
+        print(f"n_docs rounded to {n:,} (multiple of {CHUNK})", flush=True)
     n_clusters = args.n_clusters or max(256, 1 << int(
         np.log2(max(1, n // 3072))))
     budget = args.budget or int(np.ceil(n / n_clusters * 1.30 / 128)) * 128
-    gen = (make_clustered_gen(d) if args.dist == "clustered"
-           else make_gen(d))
+    gen = (make_clustered_gen(d, n_centers=max(1 << 16, n // 32))
+           if args.dist == "clustered" else make_gen(d))
     kq = jax.random.split(jax.random.key(9))[0]
     rows0 = gen(jnp.int32(0))
     sel = jax.random.choice(kq, CHUNK, (args.q,), replace=False)
