@@ -183,9 +183,8 @@ def main() -> None:
         tok = WordPieceTokenizer(vocab)
         print(f"wordpiece vocab: {len(vocab)} tokens "
               f"(embedding table {overrides['vocab_size']})", flush=True)
-        cfg = EncoderConfig.minilm_l6(**overrides)
-    else:
-        cfg = EncoderConfig.minilm_l6(**overrides)
+    cfg = EncoderConfig.minilm_l6(**overrides)
+    if not args.wordpiece:
         tok = HashTokenizer(vocab_size=cfg.vocab_size)
     init = init_params(cfg, jax.random.key(14))
 
@@ -216,12 +215,22 @@ def main() -> None:
     # different topic — the previous offset of len(TOPICS) landed on the
     # SAME topic and silently turned this metric into same-topic
     # instance discrimination, a distribution training never labels
+    def cross_topic_neg(j: int) -> int:
+        # the j+1 neighbor is a different topic EXCEPT at the wrap: when
+        # n_eval ≡ 1 (mod len(TOPICS)) the last instance wraps onto index
+        # 0, which shares its topic — skip forward until topics differ
+        n_ev = len(eval_instances)
+        o = 1
+        while (j + o) % n_ev % len(TOPICS) == j % len(TOPICS):
+            o += 1
+        return (j + o) % n_ev
+
     quad_eval = QuadrupletEvaluator(
         anchors=[i["reference"] for i in eval_instances],
         positives=[i["positive"][0] for i in eval_instances],
         part_positives=[i["part_positive"][0] for i in eval_instances],
-        negatives=[eval_instances[(j + 1) % len(eval_instances)]
-                   ["positive"][1] for j in range(len(eval_instances))],
+        negatives=[eval_instances[cross_topic_neg(j)]["positive"][1]
+                   for j in range(len(eval_instances))],
     )
 
     def evaluate(params, label):

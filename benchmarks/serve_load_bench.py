@@ -209,7 +209,11 @@ def main():
     t0 = time.perf_counter()
     for k in sorted({RetrievalServer._bucket(k, 128) for k in KS}):
         for B in BATCH_SHAPES:
-            retr.search([" ".join(rng.choice(WORDS, 6))] * B, k=k)
+            # warm the SPLIT-PHASE path the server actually runs
+            # (search_async dispatches a different program than search:
+            # the encode stays on device) — an unwarmed shape otherwise
+            # compiles mid-measurement and shows up as 5-20 s p99s
+            retr.search_async([" ".join(rng.choice(WORDS, 6))] * B, k=k)()
     print(f"warmed all (B, k) shapes in {time.perf_counter() - t0:.0f}s",
           flush=True)
 
@@ -217,9 +221,11 @@ def main():
         server = RetrievalServer(retr, max_batch=256, max_wait_s=0.005,
                                  workers=workers)
         batch_sizes = []
-        orig = server._search_batch
+        orig = server._search_dispatch
 
         def recording(payloads):
+            # split-phase batcher: batch_fn is the non-blocking dispatch —
+            # each call is still exactly one realized batch
             batch_sizes.append(len(payloads))
             return orig(payloads)
 

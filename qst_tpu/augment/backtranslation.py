@@ -109,9 +109,12 @@ class JaxMarianBacktranslator:
     """
 
     def __init__(self, en_fr_path: str, fr_en_path: str,
-                 batch_size: int = 32, max_length: int = 64,
+                 batch_size: int = 32, max_length: int = 128,
                  num_beams: Optional[int] = None, tokenizers=None,
                  matmul_precision: str = "highest"):
+        # max_length default matches MarianBacktranslator (torch) so
+        # swapping backends does not silently change truncation/generation
+        # lengths; bucketing keeps short batches on small compile shapes
         from qst_tpu.models.hf_import import load_marian_dir
 
         self.fwd_cfg, self.fwd_params, self.fwd_gen = \
@@ -172,7 +175,9 @@ class JaxMarianBacktranslator:
                     num_beams=int(gen.get("num_beams", 4)),
                     length_penalty=float(gen.get("length_penalty", 1.0)),
                     suppress_tokens=tuple(gen.get("suppress_tokens", ())),
-                    forced_eos=bool(gen.get("forced_eos", False)))
+                    # bool(False) = off; an int is the forced TOKEN ID
+                    # (may differ from eos_token_id — see load_marian_dir)
+                    forced_eos=gen.get("forced_eos", False))
             out.extend(tok.batch_decode(np.asarray(toks),
                                         skip_special_tokens=True))
         return out
@@ -186,6 +191,7 @@ class JaxMarianBacktranslator:
 
 _lock = threading.Lock()
 _singleton = None
+_singleton_backend = None  # the _BACKEND_CHOICES key the singleton realizes
 
 
 _BACKEND_CHOICES = {"jax", "torch", "paraphrase", "identity"}
@@ -214,7 +220,7 @@ def get_backtranslator(
     ``$QST_BACKTRANSLATION_BACKEND`` (``jax`` / ``torch`` / ``paraphrase`` /
     ``identity``) forces a specific one.
     """
-    global _singleton
+    global _singleton, _singleton_backend
     en_fr_path = en_fr_path or os.environ.get("QST_MARIAN_EN_FR")
     fr_en_path = fr_en_path or os.environ.get("QST_MARIAN_FR_EN")
     backend = backend or os.environ.get("QST_BACKTRANSLATION_BACKEND")
@@ -225,7 +231,11 @@ def get_backtranslator(
                          f"choices: {sorted(_BACKEND_CHOICES)}")
     with _lock:
         if _singleton is not None:
-            return _singleton
+            # a FORCED backend must never be satisfied by a memoized
+            # instance of a different kind (e.g. an early auto-selected
+            # paraphraser silently masquerading as forced Marian output)
+            if backend is None or backend == _singleton_backend:
+                return _singleton
         have_ckpts = bool(
             en_fr_path and fr_en_path and os.path.isdir(en_fr_path)
             and os.path.isdir(fr_en_path))
@@ -258,13 +268,20 @@ def get_backtranslator(
             _singleton = ParaphraseBacktranslator()
         else:
             _singleton = IdentityBacktranslator()
+        _singleton_backend = {
+            IdentityBacktranslator: "identity",
+            ParaphraseBacktranslator: "paraphrase",
+            MarianBacktranslator: "torch",
+            JaxMarianBacktranslator: "jax",
+        }[type(_singleton)]
         return _singleton
 
 
 def reset_backtranslator() -> None:
-    global _singleton
+    global _singleton, _singleton_backend
     with _lock:
         _singleton = None
+        _singleton_backend = None
 
 
 def perform_back_translation(texts: Sequence[str], **kw) -> List[str]:

@@ -316,15 +316,30 @@ def load_marian_dir(ckpt_dir: str):
         with open(gen_path) as f:
             gen.update(json.load(f))
     suppress = []
+    dropped = []
     for word in gen.get("bad_words_ids") or []:
         if len(word) == 1:  # Marian ships [[pad_token_id]]
             suppress.append(int(word[0]))
+        else:
+            dropped.append(word)
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"{ckpt_dir}: {len(dropped)} multi-token bad_words_ids entries "
+            f"(e.g. {dropped[0]}) are not supported by the on-device decode "
+            "and were DROPPED — generation may differ from torch for this "
+            "checkpoint (only single-token suppression is implemented)",
+            stacklevel=2)
+    feos = gen.get("forced_eos_token_id")
     defaults = {
         "num_beams": int(gen.get("num_beams") or 1),
         "max_length": int(gen.get("max_length") or 512),
         "length_penalty": float(gen.get("length_penalty") or 1.0),
         "suppress_tokens": tuple(suppress),
-        "forced_eos": gen.get("forced_eos_token_id") is not None,
+        # the forced token itself: HF allows forced_eos_token_id !=
+        # eos_token_id, so a bool would force the wrong token
+        "forced_eos": int(feos) if feos is not None else False,
         "name": os.path.basename(os.path.normpath(ckpt_dir)),
     }
     return cfg, params, defaults

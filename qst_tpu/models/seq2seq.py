@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +221,18 @@ def _forced_eos_mask(logp, t, max_length: int, eos_id: int):
     return jnp.where(is_last & non_eos, -1e9, 0.0).astype(logp.dtype) + logp
 
 
+def _forced_eos_id(forced_eos, cfg) -> Optional[int]:
+    """Resolve the HF ``forced_eos_token_id`` setting: ``False``/``None`` →
+    off, ``True`` → ``cfg.eos_token_id`` (the common Marian case), an int →
+    that token id — HF allows ``forced_eos_token_id != eos_token_id``, so
+    the forced token must come from the checkpoint config, not ``cfg``."""
+    if forced_eos is False or forced_eos is None:
+        return None
+    if forced_eos is True:
+        return cfg.eos_token_id
+    return int(forced_eos)
+
+
 class MarianModule(nn.Module):
     """Full encoder-decoder; __call__ → decoder vocab logits."""
 
@@ -340,6 +352,7 @@ def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     enc = model.apply({"params": params}, input_ids, attention_mask,
                       method=MarianModule.encode)
     sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
+    feos = _forced_eos_id(forced_eos, cfg)
 
     tokens = jnp.full((B, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -352,8 +365,8 @@ def greedy_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
         logits = model.apply({"params": params}, tokens, dec_mask, enc,
                              attention_mask, method=MarianModule.decode)
         step = logits[:, t, :] + sup[None, :]
-        if forced_eos:
-            step = _forced_eos_mask(step, t, max_length, cfg.eos_token_id)
+        if feos is not None:
+            step = _forced_eos_mask(step, t, max_length, feos)
         nxt = jnp.argmax(step, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t + 1].set(nxt)
@@ -380,6 +393,7 @@ def greedy_decode_cached(params, input_ids, attention_mask,
     caches = model.apply({"params": params}, enc, max_length,
                          method=MarianModule.init_decode_cache)
     sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
+    feos = _forced_eos_id(forced_eos, cfg)
 
     tokens = jnp.full((B, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -392,8 +406,8 @@ def greedy_decode_cached(params, input_ids, attention_mask,
             {"params": params}, tok_t, t, attention_mask, caches,
             method=MarianModule.decode_token)
         step = logits + sup[None, :]
-        if forced_eos:
-            step = _forced_eos_mask(step, t, max_length, cfg.eos_token_id)
+        if feos is not None:
+            step = _forced_eos_mask(step, t, max_length, feos)
         nxt = jnp.argmax(step, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t + 1].set(nxt)
@@ -434,6 +448,7 @@ def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     enc_k = jnp.repeat(enc, K, axis=0)
     mask_k = jnp.repeat(attention_mask, K, axis=0)
     sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
+    feos = _forced_eos_id(forced_eos, cfg)
 
     tokens = jnp.full((B, K, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
@@ -451,8 +466,8 @@ def beam_decode(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
                              enc_k, mask_k, method=MarianModule.decode)
         logp = jax.nn.log_softmax(logits[:, t, :].astype(jnp.float32), -1)
         logp = logp + sup[None, :]
-        if forced_eos:
-            logp = _forced_eos_mask(logp, t, max_length, cfg.eos_token_id)
+        if feos is not None:
+            logp = _forced_eos_mask(logp, t, max_length, feos)
         logp = logp.reshape(B, K, V)
         # finished beams may only extend with PAD at zero cost
         pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
@@ -505,6 +520,7 @@ def beam_decode_cached(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
     caches = model.apply({"params": params}, enc_k, max_length,
                          method=MarianModule.init_decode_cache)
     sup = _suppress_bias(cfg.vocab_size, suppress_tokens)
+    feos = _forced_eos_id(forced_eos, cfg)
 
     tokens = jnp.full((B, K, max_length), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
@@ -529,8 +545,8 @@ def beam_decode_cached(params, input_ids, attention_mask, cfg: Seq2SeqConfig,
             method=MarianModule.decode_token)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         logp = logp + sup[None, :]
-        if forced_eos:
-            logp = _forced_eos_mask(logp, t, max_length, cfg.eos_token_id)
+        if feos is not None:
+            logp = _forced_eos_mask(logp, t, max_length, feos)
         logp = logp.reshape(B, K, V)
         pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
         logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)

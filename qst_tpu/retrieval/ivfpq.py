@@ -145,31 +145,25 @@ def _pad_to(x: jax.Array, quantum: int) -> jax.Array:
     return x
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_probe", "k", "residual", "bits"))
-def _ivfpq_search(queries, centroids, cell_codes, cell_ids, codebooks,
-                  n_probe: int, k: int, residual: bool, bits: int = 8
-                  ) -> Tuple[jax.Array, jax.Array]:
-    """queries (Q, D); cell_codes (C, L, m) uint8 (packed nibble pairs
-    when bits=4); cell_ids (C, L) int32 (-1 = padding); ``codebooks`` is
-    (m, 256, ds) for bits=8 and the BLOCKED (packs, g·16, g·ds) decode
-    matrices for bits=4; → (scores (Q, kc) f32, global doc ids (Q, kc))."""
-    Q = queries.shape[0]
-    C, L, m = cell_codes.shape
-    qf = l2_normalize(queries.astype(jnp.float32))
-    csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-    psim, probe = jax.lax.top_k(csim, n_probe)              # (Q, P) ×2
-    cd = _compute_dtype()
-    cb = codebooks.astype(cd)
-    qc = qf.astype(cd)
+def _probe_scan(qc, psim, probe, gather, cb, bits: int, residual: bool,
+                k: int, L: int) -> Tuple[jax.Array, jax.Array]:
+    """The per-probe scan shared by the single-device and sharded searches:
+    for each probed cell, ``gather(global_cell_ids) -> ((Q, L, m) codes,
+    (Q, L) ids)`` fetches the cell, the codes decode through the
+    one-hot-matmul decoder, scores accumulate the residual centroid term,
+    and a running top-k folds the cell's candidates in. The two searches
+    differ ONLY in the gather (the sharded one clamps to the local shard
+    and masks out-of-range cells), so the scan body lives here once —
+    a fix applied to one path cannot desynchronize the other."""
+    Q = qc.shape[0]
+    n_probe = probe.shape[1]
     kk = min(k, L)
     kc = min(k, n_probe * L)
 
     def body(carry, p):
         cs, ci = carry
-        pid = probe[:, p]                                   # (Q,)
-        codes = cell_codes[pid]                             # (Q, L, m)
-        ids = cell_ids[pid]                                 # (Q, L)
+        codes, ids = gather(probe[:, p])                    # (Q, L, m/L)
+        m = codes.shape[-1]
         flat = _pad_to(codes.reshape(Q * L, m), PQ_TILE)
         recon = _decode_any(flat, cb, bits)[: Q * L].reshape(Q, L, -1)
         s = jnp.einsum("qd,qld->ql", qc, recon,
@@ -191,6 +185,25 @@ def _ivfpq_search(queries, centroids, cell_codes, cell_ids, codebooks,
     return cs, ci
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_probe", "k", "residual", "bits"))
+def _ivfpq_search(queries, centroids, cell_codes, cell_ids, codebooks,
+                  n_probe: int, k: int, residual: bool, bits: int = 8
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """queries (Q, D); cell_codes (C, L, m) uint8 (packed nibble pairs
+    when bits=4); cell_ids (C, L) int32 (-1 = padding); ``codebooks`` is
+    (m, 256, ds) for bits=8 and the BLOCKED (packs, g·16, g·ds) decode
+    matrices for bits=4; → (scores (Q, kc) f32, global doc ids (Q, kc))."""
+    C, L, m = cell_codes.shape
+    qf = l2_normalize(queries.astype(jnp.float32))
+    csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    psim, probe = jax.lax.top_k(csim, n_probe)              # (Q, P) ×2
+    cd = _compute_dtype()
+    return _probe_scan(qf.astype(cd), psim, probe,
+                       lambda pid: (cell_codes[pid], cell_ids[pid]),
+                       codebooks.astype(cd), bits, residual, k, L)
+
+
 def _sharded_ivfpq_search_fn(mesh: Mesh, n_probe: int, k: int,
                              cells_per_shard: int, budget: int,
                              residual: bool, bits: int = 8):
@@ -208,42 +221,22 @@ def _sharded_ivfpq_search_fn(mesh: Mesh, n_probe: int, k: int,
         from qst_tpu.core.meshes import flat_shard_index
 
         base = flat_shard_index(axes) * cells_per_shard
-        Q = q.shape[0]
-        m = codes_shard.shape[-1]
         qf = l2_normalize(q.astype(jnp.float32))
         csim = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
         psim, probe = jax.lax.top_k(csim, n_probe)          # global ids
         cd = _compute_dtype()
-        cb = codebooks.astype(cd)
-        qc = qf.astype(cd)
-        kk = min(k, L)
         kc = min(k, n_probe * L)
 
-        def body_p(carry, p):
-            cs, ci = carry
-            pid = probe[:, p] - base                        # local cell id
+        def gather(gpid):
+            pid = gpid - base                               # local cell id
             in_range = (pid >= 0) & (pid < cells_per_shard)
             pid_c = jnp.clip(pid, 0, cells_per_shard - 1)
             codes = codes_shard[pid_c]                      # (Q, L, m)
             ids = jnp.where(in_range[:, None], ids_shard[pid_c], -1)
-            flat = _pad_to(codes.reshape(Q * L, m), PQ_TILE)
-            recon = _decode_any(flat, cb, bits)[: Q * L].reshape(Q, L, -1)
-            s = jnp.einsum("qd,qld->ql", qc, recon,
-                           preferred_element_type=jnp.float32)
-            if residual:
-                s = s + psim[:, p][:, None]
-            s = jnp.where(ids >= 0, s, -jnp.inf)
-            s1, pos = jax.lax.top_k(s, kk)
-            i1 = jnp.take_along_axis(ids, pos, axis=1)
-            s2, pos2 = jax.lax.top_k(jnp.concatenate([cs, s1], axis=1), kc)
-            i2 = jnp.take_along_axis(jnp.concatenate([ci, i1], axis=1),
-                                     pos2, axis=1)
-            return (s2, i2), None
+            return codes, ids
 
-        init = (jnp.full((Q, kc), -jnp.inf, jnp.float32),
-                jnp.full((Q, kc), -1, jnp.int32))
-        (cs, ci), _ = jax.lax.scan(body_p, init,
-                                   jnp.arange(n_probe, dtype=jnp.int32))
+        cs, ci = _probe_scan(qf.astype(cd), psim, probe, gather,
+                             codebooks.astype(cd), bits, residual, k, L)
         all_s = jax.lax.all_gather(cs, axes, axis=1, tiled=True)
         all_i = jax.lax.all_gather(ci, axes, axis=1, tiled=True)
         s2, pos = jax.lax.top_k(all_s, kc)

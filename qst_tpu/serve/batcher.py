@@ -98,9 +98,13 @@ class DynamicBatcher:
                              for _ in range(workers)]
         else:
             # split-phase: 1 collector (ordered dispatch) + N completers;
-            # the bounded queue is the in-flight backpressure
-            self._done_queue: "queue.Queue" = queue.Queue(
-                maxsize=2 * workers)
+            # the slot semaphore is the in-flight backpressure — acquired
+            # BEFORE draining, so under saturation the collector sleeps
+            # (no polling) while arrivals pile up and the next drain
+            # realizes a LARGE batch (batch growth is the throughput
+            # lever: a Q=256 search costs ~1.5x a Q=32 one)
+            self._done_queue: "queue.Queue" = queue.Queue()
+            self._slots = threading.BoundedSemaphore(2 * workers)
             self._threads = [threading.Thread(target=self._run_dispatch,
                                               daemon=True)]
             self._threads += [
@@ -171,13 +175,20 @@ class DynamicBatcher:
         items = [first]
         deadline = time.monotonic() + self._max_wait_s
         while len(items) < self._max_batch:
-            timeout = deadline - time.monotonic()
-            if timeout <= 0:
-                break
+            # Sweep already-queued items unconditionally (even with
+            # max_wait_s=0): work that piled up while the collector was
+            # busy/blocked must coalesce into this batch — only waiting
+            # for NOT-YET-ARRIVED stragglers is bounded by the deadline.
             try:
-                nxt = self._queue.get(timeout=timeout)
+                nxt = self._queue.get_nowait()
             except queue.Empty:
-                break
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
             if nxt is None:         # close() sentinel: put it back and stop
                 self._queue.put(None)
                 break
@@ -230,6 +241,13 @@ class DynamicBatcher:
                 for _ in range(n_completers):
                     self._done_queue.put(None)
                 return
+            # take an in-flight slot BEFORE draining: when every slot is
+            # busy the device is the bottleneck, so the collector sleeps
+            # here (zero CPU — no polling on a loaded host) while arrivals
+            # keep queueing; the drain below then realizes them as one
+            # large batch. When a slot is free this returns immediately
+            # and latency is unchanged.
+            self._slots.acquire()
             items = self._drain(first)
             with self._stats_lock:
                 self._n_batches += 1
@@ -238,9 +256,10 @@ class DynamicBatcher:
             try:
                 handle = self._batch_fn([it.payload for it in items])
             except BaseException as e:
+                self._slots.release()
                 self._resolve_error(items, e)
                 continue
-            self._done_queue.put((handle, items))  # bounded: backpressure
+            self._done_queue.put((handle, items))
 
     def _run_finalize(self) -> None:
         """Completer: blocking host materialization, off the collector."""
@@ -259,6 +278,8 @@ class DynamicBatcher:
             except BaseException as e:
                 self._resolve_error(items, e)
                 continue
+            finally:
+                self._slots.release()   # this in-flight batch is done
             for it, res in zip(items, results):
                 it._result = res
                 it.event.set()

@@ -121,7 +121,9 @@ def test_load_marian_dir_parses_generation_defaults(ckpt_dirs):
     assert cfg.vocab_size == V and cfg.pad_token_id == PAD
     assert gen["num_beams"] == NUM_BEAMS
     assert gen["suppress_tokens"] == (PAD,)
-    assert gen["forced_eos"] is True
+    # the forced TOKEN ID itself (HF allows forced_eos_token_id !=
+    # eos_token_id, so a bool would force the wrong token)
+    assert gen["forced_eos"] == EOS
     assert "shared" in params and "decoder_layer_1" in params
 
 
@@ -254,5 +256,69 @@ def test_get_backtranslator_rejects_bad_backend(monkeypatch):
         for forced in ("jax", "torch"):
             with pytest.raises(ValueError, match="checkpoint dirs"):
                 get_backtranslator(backend=forced)
+    finally:
+        reset_backtranslator()
+
+
+def test_forced_eos_token_id_differs_from_eos(tmp_path):
+    """HF allows forced_eos_token_id != eos_token_id — the decode must
+    force the CHECKPOINT's token, not cfg.eos_token_id, to keep
+    token-for-token parity with torch ``generate``."""
+    FEOS = 5
+    d = _save_marian(tmp_path, "opus-mt-feos", seed=11,
+                     forced_eos_token_id=FEOS)
+    cfg, params, gen = load_marian_dir(d)
+    assert gen["forced_eos"] == FEOS
+    tok = WordTok()
+    enc = tok(["tok8 tok9 tok10 tok11 tok12", "tok40 tok41"], max_length=10)
+    max_length = 8
+    model = MarianMTModel.from_pretrained(d).eval()
+    with torch.no_grad():
+        golden = model.generate(
+            input_ids=torch.from_numpy(np.asarray(enc["input_ids"],
+                                                  np.int64)),
+            attention_mask=torch.from_numpy(
+                np.asarray(enc["attention_mask"], np.int64)),
+            max_length=max_length, num_beams=1, do_sample=False).numpy()
+    ours = np.asarray(greedy_decode_cached(
+        params, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(enc["attention_mask"]), cfg, max_length=max_length,
+        suppress_tokens=gen["suppress_tokens"],
+        forced_eos=gen["forced_eos"]))
+    np.testing.assert_array_equal(ours[:, : golden.shape[1]], golden)
+    # the forced token actually appears at the final slot of unfinished rows
+    assert (ours[:, max_length - 1] == FEOS).any() or \
+        (ours == EOS).any(axis=1).all()
+
+
+def test_load_marian_dir_warns_on_multitoken_bad_words(tmp_path):
+    d = _save_marian(tmp_path, "opus-mt-badwords", seed=13,
+                     bad_words_ids=[[PAD], [5, 7]])
+    with pytest.warns(UserWarning, match="multi-token bad_words_ids"):
+        _, _, gen = load_marian_dir(d)
+    assert gen["suppress_tokens"] == (PAD,)
+
+
+def test_forced_backend_not_masked_by_memoized_singleton(ckpt_dirs):
+    """A forced backend= must never be satisfied by an earlier memoized
+    instance of a DIFFERENT kind (e.g. an auto-selected paraphraser
+    masquerading as forced Marian output)."""
+    from qst_tpu.augment.backtranslation import (
+        IdentityBacktranslator, ParaphraseBacktranslator)
+
+    reset_backtranslator()
+    try:
+        first = get_backtranslator()  # no checkpoints -> paraphrase
+        assert isinstance(first, ParaphraseBacktranslator)
+        forced = get_backtranslator(backend="identity")
+        assert isinstance(forced, IdentityBacktranslator)
+        # auto-mode callers now see the latest constructed singleton
+        assert get_backtranslator() is forced
+        # forcing jax with a memoized identity singleton builds Marian
+        tok = WordTok()
+        bt = get_backtranslator(backend="jax", en_fr_path=ckpt_dirs[0],
+                                fr_en_path=ckpt_dirs[1],
+                                tokenizers=(tok, tok))
+        assert isinstance(bt, JaxMarianBacktranslator)
     finally:
         reset_backtranslator()

@@ -203,6 +203,43 @@ def test_batcher_split_phase_dispatch_overlaps_finalize():
         assert f0.result() == 0
 
 
+def test_batcher_split_phase_saturation_grows_batches():
+    """When every in-flight slot is busy, the collector must WAIT (not
+    dispatch tiny batches): arrivals during the wait coalesce into one
+    large batch — the throughput lever under load."""
+    dispatched = []
+    gate = threading.Event()
+
+    def dispatch(items):
+        dispatched.append(len(items))
+        return items
+
+    def finalize(handle, items):
+        gate.wait(timeout=10)        # hold every in-flight slot busy
+        return handle
+
+    with DynamicBatcher(dispatch, max_batch=64, max_wait_s=0.0,
+                        workers=1, finalize_fn=finalize) as b:
+        # workers=1 -> 2 in-flight slots; occupy both with singleton
+        # batches (submitted one at a time so they cannot coalesce)
+        head = []
+        for i in range(2):
+            head.append(b.submit_async(i))
+            for _ in range(200):
+                if len(dispatched) == i + 1:
+                    break
+                time.sleep(0.01)
+        assert dispatched == [1, 1], dispatched
+        # 20 arrivals while saturated: must coalesce, not trickle
+        tail = [b.submit_async(100 + i) for i in range(20)]
+        time.sleep(0.1)              # all queued; collector asleep on slot
+        gate.set()
+        assert [f.result() for f in tail] == list(range(100, 120))
+        for f in head:
+            f.result()
+    assert max(dispatched[2:]) >= 10, dispatched
+
+
 def test_batcher_split_phase_errors_both_phases():
     def dispatch(items):
         if any(x == -1 for x in items):
