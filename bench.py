@@ -108,24 +108,38 @@ def main() -> None:
     # the ~30 ms relay round-trip overlaps with device compute instead of
     # serializing after every call. Measured depth sweep (one v5e, 20 calls):
     # serialized 61k QPS, depth 2 110k, depth 4 114k, depth 8 115k.
-    DEPTH = 4
-    best = float("inf")
-    window_times = []
-    for _ in range(WINDOWS):
+    def run_window(depth: int, iters: int) -> float:
         checksum = 0
         pending = []
         t0 = time.perf_counter()
-        for step in range(ITERS):
+        for step in range(iters):
             pending.append(search(query_batches[step % len(query_batches)]))
-            if len(pending) >= DEPTH:
+            if len(pending) >= depth:
                 _, i = pending.pop(0)
                 checksum += int(np.asarray(i)[0, 0])
         while pending:
             _, i = pending.pop(0)
             checksum += int(np.asarray(i)[0, 0])
-        window_times.append(time.perf_counter() - t0)
-        best = min(best, window_times[-1])
+        return time.perf_counter() - t0
 
+    DEPTH = 4
+    window_times = [run_window(DEPTH, ITERS) for _ in range(WINDOWS)]
+    best = min(window_times)
+
+    # Diagnostics that separate "relay slow episode" from "kernel
+    # regression" (round-4 verdict item 1):
+    #   - serialized (depth-1) per-call time = device time + one full relay
+    #     round-trip per call;
+    #   - depth-8 per-call time ~= pure device time (the relay RTT is fully
+    #     overlapped at depth 8 — the historical device bound is ~35.5 ms
+    #     at Q=4096, i.e. ~115k QPS);
+    #   - their difference estimates the relay RTT.
+    # A healthy chip with a slow relay shows device_ms ~= history and
+    # relay_rtt inflated; a kernel regression shows device_ms inflated.
+    ser_s = run_window(1, 4)
+    deep_s = run_window(8, ITERS)
+    serialized_ms = 1e3 * ser_s / 4
+    device_ms = 1e3 * deep_s / ITERS
     qps = N_QUERIES * ITERS / best
     mean_qps = N_QUERIES * ITERS / (sum(window_times) / len(window_times))
     print(json.dumps({
@@ -136,6 +150,11 @@ def main() -> None:
         # best-of-windows is the headline (the relay has ~2x-slow episodes);
         # the mean keeps run-to-run variance visible and comparable
         "mean_over_windows": round(mean_qps, 1),
+        "window_wall_s": [round(t, 3) for t in window_times],
+        "window_qps": [round(N_QUERIES * ITERS / t, 1) for t in window_times],
+        "serialized_ms_per_call": round(serialized_ms, 2),
+        "device_ms_per_call_est": round(device_ms, 2),
+        "relay_rtt_ms_est": round(serialized_ms - device_ms, 2),
     }))
 
 
