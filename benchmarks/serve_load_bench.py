@@ -114,6 +114,39 @@ def run_load_procs(url, n_procs, threads_per_proc, seconds):
     return np.sort(np.asarray(lat)) * 1e3, window
 
 
+def run_batcher_flood(batcher, clients, seconds):
+    """Closed-loop load submitted DIRECTLY to the search DynamicBatcher —
+    no HTTP, no JSON, no sockets. Isolates the batching+device capacity
+    from the transport: (HTTP req/s) / (flood items/s) is the transport's
+    share of the roofline on this host."""
+    lat = []
+    lock = threading.Lock()
+    stop_at = time.perf_counter() + seconds
+
+    def client(seed):
+        r = np.random.default_rng(seed)
+        my = []
+        while time.perf_counter() < stop_at:
+            q = " ".join(r.choice(WORDS, 6))
+            k = int(r.choice(KS))
+            t0 = time.perf_counter()
+            out = batcher.submit((q, k, False))
+            my.append(time.perf_counter() - t0)
+            assert len(out) == k
+        with lock:
+            lat.extend(my)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return np.sort(np.asarray(lat)) * 1e3, wall
+
+
 def run_load(url, clients, seconds, rng):
     lat = []
     lock = threading.Lock()
@@ -165,6 +198,13 @@ def main():
                          "SUBPROCESSES (clients/procs threads each) so the "
                          "measurement client is not a single GIL-bound "
                          "process")
+    ap.add_argument("--no_http", action="store_true",
+                    help="flood the search DynamicBatcher directly "
+                    "(submit/result, no HTTP/JSON/sockets) — isolates "
+                    "batching+device capacity from transport cost")
+    ap.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="batcher max_wait_s in ms (batch-coalescing "
+                    "window)")
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--n_docs", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=384)
@@ -218,7 +258,8 @@ def main():
           flush=True)
 
     for workers in worker_counts:
-        server = RetrievalServer(retr, max_batch=256, max_wait_s=0.005,
+        server = RetrievalServer(retr, max_batch=256,
+                                 max_wait_s=args.max_wait_ms / 1e3,
                                  workers=workers)
         batch_sizes = []
         orig = server._search_dispatch
@@ -230,11 +271,15 @@ def main():
             return orig(payloads)
 
         server._search_batcher._batch_fn = recording
-        port = server.start()
-        url = f"http://127.0.0.1:{port}/search"
+        if not args.no_http:
+            port = server.start()
+            url = f"http://127.0.0.1:{port}/search"
         for clients in client_counts:
             batch_sizes.clear()
-            if args.client_procs > 0:
+            if args.no_http:
+                lat_ms, wall = run_batcher_flood(
+                    server._search_batcher, clients, args.seconds)
+            elif args.client_procs > 0:
                 lat_ms, wall = run_load_procs(
                     url, args.client_procs,
                     max(1, clients // args.client_procs), args.seconds)
@@ -242,6 +287,7 @@ def main():
                 lat_ms, wall = run_load(url, clients, args.seconds, rng)
             bs = np.asarray(batch_sizes)
             print(f"workers={workers} clients={clients} "
+                  f"{'flood' if args.no_http else 'http'} "
                   f"reqs={len(lat_ms)} wall={wall:.1f}s "
                   f"-> {len(lat_ms) / wall:.0f} req/s (1 query/req)",
                   flush=True)
@@ -253,7 +299,11 @@ def main():
                 print(f"  batch sizes: mean {bs.mean():.1f} p50 "
                       f"{np.percentile(bs, 50):.0f} max {bs.max()} over "
                       f"{bs.size} device calls", flush=True)
-        server.stop()
+        if args.no_http:
+            server._search_batcher.close()
+            server._encode_batcher.close()
+        else:
+            server.stop()
 
     # direct device bound: pipelined search_stream on the same index with
     # pre-encoded queries, at the shapes the batcher realizes under load
