@@ -110,6 +110,19 @@ def main() -> None:
                     "the constructed dataset (greedy longest-match, "
                     "subword fallback) instead of the hash tokenizer — "
                     "the VERDICT r3 item-2 configuration")
+    ap.add_argument("--gammas", type=str, default="",
+                    help="comma list of gamma values: sweep mode (VERDICT "
+                    "r4 item 5) — trains the triplet baseline once plus one "
+                    "gamma arm per (gamma, margin-set) cell and prints a "
+                    "sweep table characterizing the part-only R@10 vs "
+                    "graded-ordering trade-off")
+    ap.add_argument("--margin_sets", type=str, default="1.0:0.5:0.5",
+                    help="comma list of pos_neg:pos_part:part_neg margin "
+                    "triples for the sweep (reference default 1.0:0.5:0.5, "
+                    "models/losses/losses.py:9-19)")
+    ap.add_argument("--preset", default="minilm_l6",
+                    choices=["minilm_l6", "tiny"],
+                    help="encoder preset (tiny = CPU smoke testing)")
     args = ap.parse_args()
 
     import jax
@@ -183,7 +196,7 @@ def main() -> None:
         tok = WordPieceTokenizer(vocab)
         print(f"wordpiece vocab: {len(vocab)} tokens "
               f"(embedding table {overrides['vocab_size']})", flush=True)
-    cfg = EncoderConfig.minilm_l6(**overrides)
+    cfg = getattr(EncoderConfig, args.preset)(**overrides)
     if not args.wordpiece:
         tok = HashTokenizer(vocab_size=cfg.vocab_size)
     init = init_params(cfg, jax.random.key(14))
@@ -286,6 +299,42 @@ def main() -> None:
               f"{time.perf_counter() - t0:.0f}s "
               f"({result.steps_per_sec:.1f} steps/s)", flush=True)
         return result.state.params, trainer.total_steps
+
+    if args.gammas:
+        # --- sweep mode (VERDICT r4 item 5): gamma x margin-set grid ------
+        gammas = [float(g) for g in args.gammas.split(",")]
+        msets = [tuple(float(x) for x in m.split(":"))
+                 for m in args.margin_sets.split(",")]
+        triplet_params, triplet_steps = train_arm(
+            LossConfig(kind="triplet"), "triplet")
+        results["triplet"] = evaluate(triplet_params, "triplet")
+        for g in gammas:
+            for (m_pn, m_pp, m_pn2) in msets:
+                label = f"gamma={g} margins={m_pn}/{m_pp}/{m_pn2}"
+                params, steps = train_arm(
+                    LossConfig(kind="gamma", gamma=g, margin_pos_neg=m_pn,
+                               margin_pos_part=m_pp, margin_part_neg=m_pn2),
+                    label)
+                results[label] = evaluate(params, label)
+        print(json.dumps({
+            "metric": "ablation_gamma_margin_sweep",
+            "steps_per_arm": triplet_steps,
+            "results": results,
+        }))
+        # sweep table: does graded ordering trade off against part-pos
+        # rank-band retention, and where?
+        rows = ["| cell | R@10 (part) | acc(part,neg) | NDCG@10 (pos+part) "
+                "| R@10 (pos+part) | acc(pos,part) | global |",
+                "|---|---|---|---|---|---|---|"]
+        for label, r in results.items():
+            o = r["ordering"]
+            rows.append(
+                f"| {label} | {r['part_only']['recall@10']} | "
+                f"{o.get('acc_part_neg')} | {r['pos+part']['ndcg@10']} | "
+                f"{r['pos+part']['recall@10']} | {o.get('acc_pos_part')} | "
+                f"{o.get('global_accuracy')} |")
+        print("\n".join(rows))
+        return
 
     gamma_params, gamma_steps = train_arm(
         LossConfig(kind="gamma", margin_pos_part=0.5, margin_part_neg=0.5),
