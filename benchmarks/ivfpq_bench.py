@@ -95,16 +95,25 @@ def make_clustered_gen(d: int, n_centers: int = 1 << 16, seed: int = 0,
     w = jax.random.normal(kw, (RANK, d), jnp.float32) / 8.0
     centers = jax.random.normal(kc, (n_centers, RANK), jnp.float32)
 
+    # centers/w enter as ARGUMENTS, not closure constants: jit embeds
+    # closed-over concrete arrays as HLO literals, and at capacity scale
+    # (n/32 centers -> hundreds of MB) the literal-carrying compile
+    # request exceeds the dev relay's remote_compile body limit
+    # (HTTP 413) — and is pathologically slow well before that
     @functools.partial(jax.jit, static_argnames=("rows",))
-    def gen(i: jax.Array, rows: int = CHUNK):
+    def _gen(i: jax.Array, centers: jax.Array, w: jax.Array,
+             rows: int = CHUNK):
         k1 = jax.random.fold_in(jax.random.key(seed + 1), i)
         k2 = jax.random.fold_in(jax.random.key(seed + 2), i)
         k3 = jax.random.fold_in(jax.random.key(seed + 3), i)
-        cid = jax.random.randint(k1, (rows,), 0, n_centers)
+        cid = jax.random.randint(k1, (rows,), 0, centers.shape[0])
         lat = centers[cid] + noise * jax.random.normal(
             k2, (rows, RANK), jnp.float32)
         return lat @ w + 0.05 * jax.random.normal(k3, (rows, d),
                                                   jnp.float32)
+
+    def gen(i: jax.Array, rows: int = CHUNK):
+        return _gen(i, centers, w, rows=rows)
 
     return gen
 
@@ -193,9 +202,10 @@ def build_on_device(gen, n_docs, d, n_clusters, budget, m, bits,
     cdtype = np.int16 if n_clusters <= 32768 else np.int32
     all_choices = []
     for i in range(n_chunks):
-        ch = np.asarray(
-            assign_scan(gen(jnp.int32(i)), centroids, n_choices=16))
-        all_choices.append(ch.astype(cdtype))
+        a = assign_scan(gen(jnp.int32(i)), centroids, n_choices=16)
+        if cdtype is np.int16:
+            a = a.astype(jnp.int16)   # cast ON DEVICE: half the relay bytes
+        all_choices.append(np.asarray(a))
     if verbose:
         print(f"  assigned {n_chunks} chunks in "
               f"{time.perf_counter()-t0:.0f}s", flush=True)
@@ -373,27 +383,30 @@ def run(args):
                                        bits)
         probes = ([args.n_probe] if args.n_probe
                   else [p for p in (8, 16, 32, 64) if p < n_clusters])
+        # serving refine timing per probe: same-shape int8 host table
+        # (uninit — the gather/rescore cost is identical; --refine_table
+        # for real contents). Host-BLAS refine (pq.REFINE_ON_HOST) is
+        # the production default being timed here.
+        if args.refine_timing:
+            idx._refine_rows = np.empty((n, d), np.int8)
+            idx._refine_scale = 127.0
         for p in probes:
             _, got = idx.search(q, k=k, n_probe=p, refine_factor=0)
             r_raw = recall_of(i_true, got, k)
             r_ref = refined_recall(gen, idx, q, i_true, k, p,
                                    args.refine)
             qps, ms = sustained(idx, q, k, p, 0, iters=args.iters)
-            print(f"  n_probe={p}: recall@10 raw={r_raw:.3f} "
-                  f"refined x{args.refine}={r_ref:.3f}  raw-path "
-                  f"{qps:,.0f} QPS ({ms:.1f} ms/call)", flush=True)
-        # serving refine timing: same-shape int8 host table (uninit —
-        # the gather/upload cost is identical; --refine_table for real)
+            line = (f"  n_probe={p}: recall@10 raw={r_raw:.3f} "
+                    f"refined x{args.refine}={r_ref:.3f}  raw-path "
+                    f"{qps:,.0f} QPS ({ms:.1f} ms/call)")
+            if args.refine_timing:
+                rqps, rms = sustained(idx, q, k, p, args.refine,
+                                      iters=max(4, args.iters // 2))
+                line += (f"  refined-serving {rqps:,.0f} QPS "
+                         f"({rms:.1f} ms/call)")
+            print(line, flush=True)
         if args.refine_timing:
-            tbl = np.empty((n, d), np.int8)
-            idx._refine_rows, idx._refine_scale = tbl, 127.0
-            qps, ms = sustained(idx, q, k, probes[-1], args.refine,
-                                iters=max(4, args.iters // 4))
-            print(f"  refined x{args.refine} serving timing @n_probe="
-                  f"{probes[-1]}: {qps:,.0f} QPS ({ms:.1f} ms/call) "
-                  f"[int8 table, contents surrogate]", flush=True)
             idx._refine_rows = None
-            del tbl
         del idx
 
     if args.with_pq:

@@ -209,11 +209,27 @@ def main():
     ap.add_argument("--n_docs", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--index_dtype", default="bfloat16",
-                    choices=["bfloat16", "int8", "pq"],
+                    choices=["bfloat16", "int8", "pq", "ivfpq"],
                     help="serve a compressed index instead of bf16 (pq "
                     "serves PQ-only scores: the exact re-rank's candidate "
                     "gather rides the dev relay's ~40 MB/s host link and "
-                    "would measure the relay, not the server)")
+                    "would measure the relay, not the server; ivfpq "
+                    "builds a residual IVF-PQ bits=4 index ON DEVICE from "
+                    "the clustered generator — the >=50M-doc capacity "
+                    "envelope — WITH the default exact refine against an "
+                    "int8 host table, so every request pays the full "
+                    "probe + decode + gather + rescore serving path)")
+    ap.add_argument("--n_probe", type=int, default=0,
+                    help="ivfpq: probed cells per query (0 = index "
+                    "default 8)")
+    ap.add_argument("--refine_table", default="surrogate",
+                    choices=["surrogate", "real"],
+                    help="ivfpq: int8 refine-table contents. 'surrogate' "
+                    "allocates the (n_docs, dim) int8 table uninitialized "
+                    "— the gather + upload + rescore COST is identical, "
+                    "result contents are not meaningful; 'real' downloads "
+                    "the quantized corpus through the relay first "
+                    "(~n_docs*dim bytes at ~40 MB/s — minutes at 50M)")
     args = ap.parse_args()
     client_counts = [int(c) for c in args.clients.split(",")]
     worker_counts = [int(w) for w in args.workers.split(",")]
@@ -223,21 +239,66 @@ def main():
     enc = SentenceEncoder(cfg, init_params(cfg, jax.random.key(0)),
                           HashTokenizer(vocab_size=cfg.vocab_size))
 
-    # index over random unit bf16 embeddings (the serving configuration);
-    # doc texts skipped — search returns ids+scores
-    emb = jax.random.normal(jax.random.key(1), (args.n_docs, args.dim),
-                            jnp.bfloat16)
-    emb = jax.jit(lambda x: l2_normalize(
-        x.astype(jnp.float32)).astype(jnp.bfloat16))(emb)
     retr = Retriever(enc, score="dot_score")
-    if args.index_dtype == "pq":
-        from qst_tpu.retrieval import PQIndex
+    if args.index_dtype == "ivfpq":
+        # >= 50M-doc capacity envelope: corpus generated + encoded on
+        # device (never materialized as embeddings), served through the
+        # full probe -> 4-bit decode -> int8 host gather -> exact rescore
+        # path every request takes in production
+        import os
+        import sys
 
-        retr.index = PQIndex(emb, m=48)
-        retr.index.DEFAULT_REFINE = 0   # see --index_dtype help
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ivfpq_bench import (  # noqa: E402
+            CHUNK,
+            build_on_device,
+            make_clustered_gen,
+        )
+
+        n = max(CHUNK, (args.n_docs // CHUNK) * CHUNK)
+        d = args.dim
+        n_clusters = max(256, 1 << int(np.log2(max(1, n // 3072))))
+        budget = int(np.ceil(n / n_clusters * 1.30 / 128)) * 128
+        gen = make_clustered_gen(d, n_centers=max(1 << 16, n // 32))
+        print(f"building IVF-PQ bits=4: n={n:,} C={n_clusters} "
+              f"L={budget}", flush=True)
+        idx, t_build = build_on_device(gen, n, d, n_clusters, budget,
+                                       m=48, bits=4)
+        if args.n_probe:
+            idx.default_n_probe = args.n_probe
+        tbl = np.empty((n, d), np.int8)
+        if args.refine_table == "real":
+            qz = jax.jit(lambda x: jnp.clip(jnp.round(l2_normalize(
+                x.astype(jnp.float32)) * 127.0), -127, 127
+            ).astype(jnp.int8))
+            t0 = time.perf_counter()
+            for i in range(n // CHUNK):
+                tbl[i * CHUNK:(i + 1) * CHUNK] = np.asarray(
+                    qz(gen(jnp.int32(i))))
+            print(f"real int8 refine table downloaded in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
+        idx._refine_rows, idx._refine_scale = tbl, 127.0
+        retr.index = idx
+        args.n_docs = n
+        print(f"serving IVF-PQ over {n:,} docs: build {t_build:.0f}s, "
+              f"n_probe={idx.default_n_probe}, refine "
+              f"x{idx.DEFAULT_REFINE} ({args.refine_table} int8 table, "
+              f"{tbl.nbytes / 1e9:.1f} GB host)", flush=True)
     else:
-        retr.index = ExactIndex(emb, normalize=False,
-                                dtype=args.index_dtype)
+        # index over random unit bf16 embeddings (the serving
+        # configuration); doc texts skipped — search returns ids+scores
+        emb = jax.random.normal(jax.random.key(1),
+                                (args.n_docs, args.dim), jnp.bfloat16)
+        emb = jax.jit(lambda x: l2_normalize(
+            x.astype(jnp.float32)).astype(jnp.bfloat16))(emb)
+        if args.index_dtype == "pq":
+            from qst_tpu.retrieval import PQIndex
+
+            retr.index = PQIndex(emb, m=48)
+            retr.index.DEFAULT_REFINE = 0   # see --index_dtype help
+        else:
+            retr.index = ExactIndex(emb, normalize=False,
+                                    dtype=args.index_dtype)
     print(f"serving a {args.index_dtype} index over {args.n_docs:,} docs",
           flush=True)
 
@@ -306,15 +367,19 @@ def main():
             server.stop()
 
     # direct device bound: pipelined search_stream on the same index with
-    # pre-encoded queries, at the shapes the batcher realizes under load
+    # pre-encoded queries, at the shapes the batcher realizes under load.
+    # On ivfpq the served path refines — pass the same refine factor so
+    # the bound includes the host gather + rescore the server pays.
+    stream_kw = ({"refine_factor": retr.index.DEFAULT_REFINE}
+                 if args.index_dtype == "ivfpq" else {})
     for B in (32, 64, 128, 256):
         qtexts = [" ".join(rng.choice(WORDS, 6)) for _ in range(B)]
         q_emb = np.asarray(enc.encode(qtexts))
         n_batches = 50
         it = (q_emb for _ in range(n_batches))
-        list(retr.index.search_stream((q_emb,), k=64))  # warm
+        list(retr.index.search_stream((q_emb,), k=64, **stream_kw))  # warm
         t0 = time.perf_counter()
-        for _ in retr.index.search_stream(it, k=64, depth=4):
+        for _ in retr.index.search_stream(it, k=64, depth=4, **stream_kw):
             pass
         direct = time.perf_counter() - t0
         print(f"direct search_stream bound @ Q={B}: "

@@ -59,7 +59,7 @@ from qst_tpu.retrieval.pq import (
     _aniso_fit,
     _compute_dtype,
     _decode_onehot,
-    _refine_rescore,
+    refine_pair,
 )
 from qst_tpu.retrieval.pq4 import (
     K4,
@@ -723,11 +723,10 @@ class IVFPQIndex:
         s = np.concatenate([p[0] for p in pairs])
         i = np.concatenate([p[1] for p in pairs])
         if refine_factor:
-            cand = self._refine_rows[np.clip(i, 0, self.n_docs - 1)]
-            s, i = fetch_pair(*_refine_rescore(
-                q, jnp.asarray(cand), jnp.asarray(i),
+            s, i = refine_pair(
+                q, self._refine_rows, i,
                 min(k, i.shape[1]),   # probed pool may be < k at tiny P·L
-                jnp.float32(1.0 / self._refine_scale)))
+                self._refine_scale, self.n_docs)
         ids = [[self.ids[j] if j >= 0 else None for j in row]
                for row in i]
         return s, ids
@@ -758,22 +757,16 @@ class IVFPQIndex:
         if refine and self._refine_rows is None:
             raise ValueError(
                 "refine_factor needs keep_rows=True at build time")
-        from qst_tpu.retrieval.index import (
-            _pack_pair,
-            _unpack_host,
-            fetch_pair,
-        )
+        from qst_tpu.retrieval.index import _pack_pair, _unpack_host
 
         def finish(queries, packed):
             s, i = _unpack_host(np.asarray(packed))
             if not refine:
                 return s, i
-            cand = self._refine_rows[np.clip(i, 0, self.n_docs - 1)]
-            return fetch_pair(*_refine_rescore(
-                jnp.asarray(queries, jnp.float32), jnp.asarray(cand),
-                jnp.asarray(i),
+            return refine_pair(
+                queries, self._refine_rows, i,
                 min(k, i.shape[1]),   # probed pool may be < k at tiny P·L
-                jnp.float32(1.0 / self._refine_scale)))
+                self._refine_scale, self.n_docs)
 
         kk = min(k * refine, self.n_docs) if refine else min(k, self.n_docs)
         pending: list = []

@@ -668,23 +668,18 @@ class Retriever:
         exact refine re-rank when the index carries refine rows (the same
         re-rank :meth:`search` applies), then unpack to the
         (doc_id, score[, text]) rows of :meth:`search`."""
-        from qst_tpu.retrieval.index import _unpack_host, fetch_pair
+        from qst_tpu.retrieval.index import _unpack_host
 
         q_emb, packed = state
         scores, idx = _unpack_host(np.asarray(packed))
         rf = self._default_refine()
         if rf:
-            import jax.numpy as jnp
+            from qst_tpu.retrieval.pq import refine_pair
 
-            from qst_tpu.retrieval.pq import _refine_rescore
-
-            cand = self.index._refine_rows[
-                np.clip(idx, 0, self.index.n_docs - 1)]
-            scores, idx = fetch_pair(*_refine_rescore(
-                jnp.asarray(q_emb, jnp.float32), jnp.asarray(cand),
-                jnp.asarray(idx),
+            scores, idx = refine_pair(
+                q_emb, self.index._refine_rows, idx,
                 min(k, idx.shape[1]),   # probed pool may be < k (IVF-PQ)
-                jnp.float32(1.0 / self.index._refine_scale)))
+                self.index._refine_scale, self.index.n_docs)
         rows = []
         for qi in range(idx.shape[0]):
             row = []

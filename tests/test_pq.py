@@ -98,6 +98,24 @@ def test_refine_restores_exact_cosine(data):
     assert recall >= 0.9, f"refined recall@10 {recall:.2f}"
 
 
+def test_refine_host_and_device_paths_agree(data):
+    """refine_pair's host-BLAS default must return the same ids and
+    (near-identical) scores as the device-einsum path it replaces."""
+    from qst_tpu.retrieval import pq as pq_mod
+
+    corpus, queries = data
+    pq = PQIndex(corpus, m=8, n_iters=6, keep_rows=True)
+    assert pq_mod.REFINE_ON_HOST    # host BLAS is the default
+    s_h, i_h = pq.search(queries, k=10, refine_factor=8)
+    pq_mod.REFINE_ON_HOST = False
+    try:
+        s_d, i_d = pq.search(queries, k=10, refine_factor=8)
+    finally:
+        pq_mod.REFINE_ON_HOST = True
+    np.testing.assert_array_equal(i_h, i_d)
+    np.testing.assert_allclose(s_h, s_d, rtol=1e-5, atol=1e-5)
+
+
 def test_decode_paths_agree(data):
     corpus, queries = data
     idx = PQIndex(corpus, m=8, n_iters=6)
