@@ -202,6 +202,11 @@ def main():
                     help="flood the search DynamicBatcher directly "
                     "(submit/result, no HTTP/JSON/sockets) — isolates "
                     "batching+device capacity from transport cost")
+    ap.add_argument("--also_flood", action="store_true",
+                    help="after the HTTP phases, run a flood phase per "
+                    "client count against the SAME live server — both "
+                    "transport-inclusive and capacity numbers from one "
+                    "build/process (the expensive-index configuration)")
     ap.add_argument("--max_wait_ms", type=float, default=5.0,
                     help="batcher max_wait_s in ms (batch-coalescing "
                     "window)")
@@ -257,7 +262,9 @@ def main():
 
         n = max(CHUNK, (args.n_docs // CHUNK) * CHUNK)
         d = args.dim
-        n_clusters = max(256, 1 << int(np.log2(max(1, n // 3072))))
+        # C ≈ n/1536: the 100M capacity run measured finer cells beating
+        # the √n folklore on recall AND QPS simultaneously (RESULTS.md r5)
+        n_clusters = max(256, 1 << int(np.log2(max(1, n // 1536))))
         budget = int(np.ceil(n / n_clusters * 1.30 / 128)) * 128
         gen = make_clustered_gen(d, n_centers=max(1 << 16, n // 32))
         print(f"building IVF-PQ bits=4: n={n:,} C={n_clusters} "
@@ -335,31 +342,35 @@ def main():
         if not args.no_http:
             port = server.start()
             url = f"http://127.0.0.1:{port}/search"
-        for clients in client_counts:
-            batch_sizes.clear()
-            if args.no_http:
-                lat_ms, wall = run_batcher_flood(
-                    server._search_batcher, clients, args.seconds)
-            elif args.client_procs > 0:
-                lat_ms, wall = run_load_procs(
-                    url, args.client_procs,
-                    max(1, clients // args.client_procs), args.seconds)
-            else:
-                lat_ms, wall = run_load(url, clients, args.seconds, rng)
-            bs = np.asarray(batch_sizes)
-            print(f"workers={workers} clients={clients} "
-                  f"{'flood' if args.no_http else 'http'} "
-                  f"reqs={len(lat_ms)} wall={wall:.1f}s "
-                  f"-> {len(lat_ms) / wall:.0f} req/s (1 query/req)",
-                  flush=True)
-            print(f"  latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
-                  f"p95 {np.percentile(lat_ms, 95):.1f} "
-                  f"p99 {np.percentile(lat_ms, 99):.1f} "
-                  f"max {lat_ms[-1]:.1f}", flush=True)
-            if bs.size:
-                print(f"  batch sizes: mean {bs.mean():.1f} p50 "
-                      f"{np.percentile(bs, 50):.0f} max {bs.max()} over "
-                      f"{bs.size} device calls", flush=True)
+        phases = (["flood"] if args.no_http
+                  else ["http"] + (["flood"] if args.also_flood else []))
+        for phase in phases:
+            for clients in client_counts:
+                batch_sizes.clear()
+                if phase == "flood":
+                    lat_ms, wall = run_batcher_flood(
+                        server._search_batcher, clients, args.seconds)
+                elif args.client_procs > 0:
+                    lat_ms, wall = run_load_procs(
+                        url, args.client_procs,
+                        max(1, clients // args.client_procs),
+                        args.seconds)
+                else:
+                    lat_ms, wall = run_load(url, clients, args.seconds,
+                                            rng)
+                bs = np.asarray(batch_sizes)
+                print(f"workers={workers} clients={clients} {phase} "
+                      f"reqs={len(lat_ms)} wall={wall:.1f}s "
+                      f"-> {len(lat_ms) / wall:.0f} req/s (1 query/req)",
+                      flush=True)
+                print(f"  latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
+                      f"p95 {np.percentile(lat_ms, 95):.1f} "
+                      f"p99 {np.percentile(lat_ms, 99):.1f} "
+                      f"max {lat_ms[-1]:.1f}", flush=True)
+                if bs.size:
+                    print(f"  batch sizes: mean {bs.mean():.1f} p50 "
+                          f"{np.percentile(bs, 50):.0f} max {bs.max()} "
+                          f"over {bs.size} device calls", flush=True)
         if args.no_http:
             server._search_batcher.close()
             server._encode_batcher.close()
