@@ -29,6 +29,7 @@ matrix):
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -135,6 +136,16 @@ def _fill_cells(choices: np.ndarray, n_clusters: int, budget: int
         slot[remaining] = fill[cell_for] + rank
     spilled = int(np.sum(cell != choices[:, 0]))
     return cell, slot, spilled
+
+
+@functools.partial(jax.jit, donate_argnames=("cells_flat",),
+                   static_argnames=("n_clusters", "budget"))
+def _reshape_cells(cells_flat: jax.Array, n_clusters: int,
+                   budget: int) -> jax.Array:
+    """(C·L, D) → (C, L, D) WITHOUT a second cells-sized buffer: the
+    reshape of a contiguous leading dim is a bitcast, and donating the
+    input lets XLA alias it in place (see the build-path comment)."""
+    return cells_flat.reshape(n_clusters, budget, -1)
 
 
 @functools.partial(jax.jit, donate_argnames=("cells_flat",))
@@ -426,7 +437,23 @@ class IVFIndex:
             hi = min(lo + assign_chunk, n)
             cells = _scatter_chunk(cells, jnp.asarray(emb[lo:hi]),
                                    jnp.asarray(flat_pos[lo:hi]))
-        cells = cells.reshape(n_clusters, L, d)
+            # synchronize when the cell tensor is a large fraction of HBM:
+            # _scatter_chunk donates, but a runtime that does not honor
+            # donation end-to-end (observed through the dev relay) turns
+            # the chain into alloc-new/free-old churn, and with async
+            # dispatch the frees LAG the allocations — several cells-sized
+            # buffers can be transiently live and exhaust the arena.
+            # Blocking bounds the churn to one extra buffer.
+            if cells.nbytes > 1 << 32:
+                cells.block_until_ready()
+        # donated reshape: a plain .reshape() materializes a SECOND
+        # cells-sized buffer whose free lands asynchronously — on a chip
+        # where the cell tensor is most of HBM, the next upload races that
+        # free and dies. Donation lets XLA alias the bitcast in place;
+        # the barrier keeps anything from racing the transition.
+        cells = _reshape_cells(cells, n_clusters, L)
+        if cells.nbytes > 1 << 32:
+            cells.block_until_ready()
         cell_ids = np.full((n_clusters * L,), -1, np.int32)
         cell_ids[flat_pos] = np.arange(n, dtype=np.int32)
         cell_ids = jnp.asarray(cell_ids.reshape(n_clusters, L))
@@ -519,13 +546,58 @@ class IVFIndex:
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P((DATA_AXIS, MODEL_AXIS)))
         repacked = []
+        stage_cap = 1 << 27     # ≤128 MB of device staging per transfer
         for arr in (self.cells, self.cell_ids):
-            host = np.asarray(arr)          # ml_dtypes carries bf16 exactly
+            # download in bounded slices: a whole-tensor np.asarray makes
+            # the runtime linearize via a device-side copy of the FULL
+            # tensor, which cannot fit beside a near-HBM-sized original
+            # (observed: ResourceExhausted at 13.1 GB of cells on 16 GB).
+            # Each slice buffer is delete()d immediately — JAX frees
+            # asynchronously, and on a ≥95%-full fragmented arena even two
+            # live slices can fail to place; halve the step and retry on
+            # ResourceExhausted rather than die mid-defrag.
+            host = np.empty(arr.shape, arr.dtype)   # ml_dtypes bf16 exact
+            row_bytes = max(1, arr.nbytes // max(1, arr.shape[0]))
+            step = max(1, stage_cap // row_bytes)
+            lo = 0
+            attempts = 0
+            while lo < arr.shape[0]:
+                sl = None
+                try:
+                    sl = arr[lo:lo + step]
+                    host[lo:lo + step] = np.asarray(sl)
+                except jax.errors.JaxRuntimeError:
+                    # runtimes (observed: the remote TPU server behind the
+                    # dev relay) reclaim freed buffers ASYNCHRONOUSLY; on
+                    # a ≥95%-full arena right after a build, even a small
+                    # staging slice can fail until the build transients'
+                    # frees land. Back off and retry — that is compact()'s
+                    # whole job — shrinking the slice as a second lever.
+                    if sl is not None:
+                        sl.delete()
+                    attempts += 1
+                    if attempts > 20:
+                        raise
+                    time.sleep(15.0)
+                    if attempts % 4 == 0:
+                        step = max(1, step // 2)
+                    continue
+                sl.delete()
+                lo += step
             arr.delete()
             repacked.append(host)
-        self.cells, self.cell_ids = (
-            jax.device_put(h, sharding) if sharding is not None
-            else jnp.asarray(h) for h in repacked)
+
+        def _put(h):
+            for attempt in range(20):
+                try:
+                    return (jax.device_put(h, sharding)
+                            if sharding is not None else jnp.asarray(h))
+                except jax.errors.JaxRuntimeError:
+                    time.sleep(15.0)    # same deferred-free backoff
+            return (jax.device_put(h, sharding) if sharding is not None
+                    else jnp.asarray(h))
+
+        self.cells, self.cell_ids = (_put(h) for h in repacked)
 
     def tune_n_probe(self, queries, k: int = 10,
                      target_recall: float = 0.95,
